@@ -1,0 +1,333 @@
+"""Recommender runtime: the L2 layer.
+
+Same template-method pipeline as the reference ``Recommender.execute()``
+(/root/reference/base/recommender.py:73-83: initializing_log →
+print_model_info → build → train → test → evaluate) and the same
+best-by-majority-vote ``fast_evaluation`` bookkeeping
+(base/graph_recommender.py:81-104), rebuilt around a TPU execution model:
+
+- one backend (JAX). Model math lives in pure functions of (params, batch,
+  key); the whole epoch runs as ONE jit-compiled ``lax.scan`` over fixed-size
+  batches (one device dispatch per epoch, vs one per batch + host sampling in
+  the reference).
+- negative sampling happens on device inside the scanned step
+  (ops/sampling.py), not in host Python.
+- evaluation is batched full-rank scoring + lax.top_k (ops/ranking.py), not a
+  per-user loop.
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import abspath
+from time import localtime, strftime, time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from selfrec_tpu.data.interaction import Interaction
+from selfrec_tpu.data.sequence import Sequence
+from selfrec_tpu.data import io
+from selfrec_tpu.ops import ranking, sampling
+from selfrec_tpu.utils import metrics
+from selfrec_tpu.utils.logger import Log
+
+
+class Recommender:
+    """Base recommender: config parsing + run pipeline.
+
+    Common hyperparameters mirror reference base/recommender.py:15-21.
+    """
+
+    def __init__(self, conf, training_set, test_set, **kwargs):
+        self.config = conf
+        self.model_name = conf["model"]["name"]
+        self.ranking_topns = conf["item.ranking.topN"]
+        self.emb_size = int(conf["embedding.size"])
+        self.max_epoch = int(conf["max.epoch"])
+        self.batch_size = int(conf["batch.size"])
+        self.lrate = float(conf["learning.rate"])
+        self.reg = float(conf["reg.lambda"])
+        self.output = conf["output"]
+        self.seed = int(conf.get("seed", 0))
+
+        current_time = strftime("%Y-%m-%d %H-%M-%S", localtime(time()))
+        self.model_log = Log(self.model_name, f"{self.model_name} {current_time}")
+        self.result = []
+        self.rec_output = []
+
+    def initializing_log(self):
+        self.model_log.add("### model configuration ###")
+        for k, v in self.config.config.items():
+            self.model_log.add(f"{k}={v}")
+
+    def print_model_info(self):
+        print("Model:", self.model_name)
+        if self.config.contain("training.set"):
+            print("Training Set:", abspath(self.config["training.set"]))
+        if self.config.contain("test.set"):
+            print("Test Set:", abspath(self.config["test.set"]))
+        print("Embedding Dimension:", self.emb_size)
+        print("Maximum Epoch:", self.max_epoch)
+        print("Learning Rate:", self.lrate)
+        print("Batch Size:", self.batch_size)
+        print("Regularization Parameter:", self.reg)
+        if self.config.contain(self.model_name):
+            args = self.config[self.model_name]
+            par_str = "  ".join(f"{k}:{v}" for k, v in args.items())
+            print("Specific parameters:", par_str)
+
+    # template methods ------------------------------------------------------
+    def build(self):
+        pass
+
+    def train(self):
+        pass
+
+    def test(self):
+        pass
+
+    def save(self):
+        pass
+
+    def load(self):
+        pass
+
+    def evaluate(self, rec_list):
+        pass
+
+    def execute(self):
+        self.initializing_log()
+        self.print_model_info()
+        print("Initializing and building model...")
+        self.build()
+        print("Training Model...")
+        self.train()
+        print("Testing...")
+        rec_list = self.test()
+        print("Evaluating...")
+        self.evaluate(rec_list)
+        return rec_list
+
+
+class GraphRecommender(Recommender):
+    """Graph (user-item) recommender base with batched device evaluation."""
+
+    eval_interval = 5  # fast_evaluation cadence in epochs (reference: every 5 for LightGCN)
+    eval_block_size = 1024
+
+    def __init__(self, conf, training_set, test_set, **kwargs):
+        super().__init__(conf, training_set, test_set, **kwargs)
+        self.data = Interaction(conf, training_set, test_set)
+        self.best_performance: list = []
+        self.topN = [int(n) for n in self.ranking_topns]
+        self.max_N = max(self.topN)
+        self.user_emb: Optional[np.ndarray] = None
+        self.item_emb: Optional[np.ndarray] = None
+        self.best_user_emb = None
+        self.best_item_emb = None
+
+    def print_model_info(self):
+        super().print_model_info()
+        tr = self.data.training_size()
+        te = self.data.test_size()
+        print(
+            f"Training Set Size: (user number: {tr[0]}, item number: {tr[1]}, interaction number: {tr[2]})"
+        )
+        print(
+            f"Test Set Size: (user number: {te[0]}, item number: {te[1]}, interaction number: {te[2]})"
+        )
+        print("=" * 80)
+
+    # evaluation ------------------------------------------------------------
+    def current_embeddings(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(user_emb, item_emb) to rank with right now; overridden state in
+        train loops sets self.user_emb/item_emb."""
+        return self.user_emb, self.item_emb
+
+    def test(self) -> Dict[str, list]:
+        user_emb, item_emb = self.current_embeddings()
+        return ranking.rec_list_from_embeddings(
+            self.data, user_emb, item_emb, self.max_N, block_size=self.eval_block_size
+        )
+
+    def evaluate(self, rec_list):
+        self.rec_output.append(
+            "userId: recommendations in (itemId, ranking score) pairs, * means the item is hit.\n"
+        )
+        for user in self.data.test_set:
+            line = user + ":" + "".join(
+                f" ({item[0]},{item[1]}){'*' if item[0] in self.data.test_set[user] else ''}"
+                for item in rec_list[user]
+            )
+            self.rec_output.append(line + "\n")
+        current_time = strftime("%Y-%m-%d %H-%M-%S", localtime(time()))
+        out_dir = self.output
+        file_name = f"{self.model_name}@{current_time}-top-{self.max_N}items.txt"
+        io.write_file(out_dir, file_name, self.rec_output)
+        print("The result has been output to ", abspath(out_dir), ".")
+        file_name = f"{self.model_name}@{current_time}-performance.txt"
+        self.result = metrics.ranking_evaluation(self.data.test_set, rec_list, self.topN)
+        self.model_log.add("###Evaluation Results###")
+        self.model_log.add(self.result)
+        io.write_file(out_dir, file_name, self.result)
+        print(f"The result of {self.model_name}:\n{''.join(self.result)}")
+
+    def fast_evaluation(self, epoch: int):
+        print("Evaluating the model...")
+        rec_list = self.test()
+        measure = metrics.ranking_evaluation(self.data.test_set, rec_list, [self.max_N])
+        performance = metrics.parse_measure(measure)
+
+        if self.best_performance:
+            count = sum(
+                1 if self.best_performance[1][k] > performance[k] else -1
+                for k in performance
+            )
+            if count < 0:
+                self.best_performance = [epoch + 1, performance]
+                self.save()
+        else:
+            self.best_performance = [epoch + 1, performance]
+            self.save()
+
+        print("-" * 80)
+        print(f"Real-Time Ranking Performance (Top-{self.max_N} Item Recommendation)")
+        measure_str = ", ".join(f"{k}: {v}" for k, v in performance.items())
+        print(f"*Current Performance*\nEpoch: {epoch + 1}, {measure_str}")
+        bp = ", ".join(f"{k}: {v}" for k, v in self.best_performance[1].items())
+        print(f"*Best Performance*\nEpoch: {self.best_performance[0]}, {bp}")
+        print("-" * 80)
+        return measure
+
+
+class JAXGraphRecommender(GraphRecommender):
+    """Shared training machinery for embedding-table graph models.
+
+    Subclasses implement:
+      init_params(key) -> params pytree
+      compute_embeddings(params, key=None) -> (user_emb, item_emb)
+      batch_loss(params, batch, key) -> scalar loss
+    and optionally override epoch hooks for per-epoch state (dropped graph
+    views, k-means centroids, momentum targets...).
+
+    Training runs the whole epoch as one lax.scan: host supplies the
+    shuffled (users, items, mask) batch tensors once per epoch; negative
+    sampling, forward, loss, backward and Adam all happen on device.
+    """
+
+    n_neg_rounds = 8
+    log_batch_interval = 100
+
+    def __init__(self, conf, training_set, test_set, **kwargs):
+        super().__init__(conf, training_set, test_set, **kwargs)
+        self.rng = np.random.default_rng(self.seed)
+        self.key = jax.random.PRNGKey(self.seed)
+        self._rated_items = jnp.asarray(self.data.rated_items)
+        self._rated_offsets = jnp.asarray(self.data.rated_offsets)
+        max_deg = int(self.data.rated_counts().max()) if self.data.user_num else 1
+        self._n_search_steps = max(1, int(np.ceil(np.log2(max_deg + 1))) + 1)
+        self.params = None
+        self.opt_state = None
+        self.optimizer = None
+        self._epoch_fn = None
+
+    # -- subclass contract ---------------------------------------------------
+    def init_params(self, key) -> Any:
+        raise NotImplementedError
+
+    def compute_embeddings(self, params) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        raise NotImplementedError
+
+    def batch_loss(self, params, batch: Dict[str, jnp.ndarray], key) -> jnp.ndarray:
+        raise NotImplementedError
+
+    # epoch hooks
+    def epoch_setup(self, epoch: int) -> Dict[str, Any]:
+        """Returns per-epoch auxiliary pytree passed to batch_loss via
+        batch['aux'] (e.g. dropped adjacencies, cluster centroids)."""
+        return {}
+
+    def make_optimizer(self):
+        return optax.adam(self.lrate)
+
+    # -- machinery ------------------------------------------------------------
+    def build(self):
+        self.key, init_key = jax.random.split(self.key)
+        self.params = self.init_params(init_key)
+        self.optimizer = self.make_optimizer()
+        self.opt_state = self.optimizer.init(self.params)
+        self._compute_emb_jit = jax.jit(self.compute_embeddings)
+
+    def _make_epoch_fn(self):
+        n_items = self.data.item_num
+        n_search = self._n_search_steps
+        rated_items = self._rated_items
+        rated_offsets = self._rated_offsets
+        optimizer = self.optimizer
+
+        def step(carry, batch):
+            params, opt_state, key, aux = carry
+            key, k_neg, k_loss = jax.random.split(key, 3)
+            neg = sampling.sample_negatives(
+                k_neg,
+                batch["u"],
+                rated_items,
+                rated_offsets,
+                n_items,
+                shape=batch["u"].shape,
+                n_rounds=self.n_neg_rounds,
+                n_search_steps=n_search,
+            )
+            full_batch = dict(batch, j=neg, aux=aux)
+            loss, grads = jax.value_and_grad(self.batch_loss)(params, full_batch, k_loss)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key, aux), loss
+
+        def epoch_fn(params, opt_state, key, aux, users, items, masks):
+            (params, opt_state, key, _), losses = jax.lax.scan(
+                step, (params, opt_state, key, aux),
+                {"u": users, "i": items, "mask": masks},
+            )
+            return params, opt_state, key, losses
+
+        return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+    def run_epoch(self, epoch: int) -> np.ndarray:
+        if self._epoch_fn is None:
+            self._epoch_fn = self._make_epoch_fn()
+        users, items, masks = sampling.epoch_pairwise_batches(
+            self.rng, self.data.edge_users, self.data.edge_items, self.batch_size
+        )
+        aux = self.epoch_setup(epoch)
+        self.params, self.opt_state, self.key, losses = self._epoch_fn(
+            self.params,
+            self.opt_state,
+            self.key,
+            aux,
+            jnp.asarray(users),
+            jnp.asarray(items),
+            jnp.asarray(masks),
+        )
+        return np.asarray(losses)
+
+    def train(self):
+        for epoch in range(self.max_epoch):
+            losses = self.run_epoch(epoch)
+            for n in range(0, len(losses), self.log_batch_interval):
+                if n > 0:
+                    print("training:", epoch + 1, "batch", n, "batch_loss:", float(losses[n]))
+            self.user_emb, self.item_emb = self._compute_emb_jit(self.params)
+            if (epoch + 1) % self.eval_interval == 0 or epoch == self.max_epoch - 1:
+                self.fast_evaluation(epoch)
+        if self.best_user_emb is not None:
+            self.user_emb, self.item_emb = self.best_user_emb, self.best_item_emb
+
+    def save(self):
+        user_emb, item_emb = self._compute_emb_jit(self.params)
+        self.best_user_emb = jax.device_get(user_emb)
+        self.best_item_emb = jax.device_get(item_emb)

@@ -1,0 +1,181 @@
+"""Graph propagation ops — the hot path of every GNN recommender.
+
+TPU-native replacement for the reference's cuSPARSE ``torch.sparse.mm``
+(e.g. /root/reference/model/graph/LightGCN.py:72, SimGCL.py:85). The
+normalized adjacency lives as flat edge arrays (src, dst, w); propagation is
+a gather + weighted segment-sum, which XLA lowers to dense-friendly fused
+ops, is trivially differentiable (transpose of a gather-scatter is a
+scatter-gather) and shards cleanly along the edge axis (partial segment sums
++ psum). A tiled Pallas SpMM kernel over the same layout lives in
+:mod:`selfrec_tpu.ops.spmm_pallas` for the single-chip fast path.
+
+Also provides fully on-device normalized-adjacency construction from an edge
+keep-mask, replacing the reference's per-epoch host scipy rebuild for SGL
+(model/graph/SGL.py:28-29, data/augmentor.py:30-40) with a static-shape,
+jit-compatible renormalisation.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+class NormAdj:
+    """Normalized sparse adjacency in edge-list form.
+
+    out[d] = sum over edges e with dst[e]==d of w[e] * x[src[e]].
+    ``n_nodes`` is static (part of the pytree treedef) so jitted consumers
+    specialise on it.
+    """
+
+    def __init__(self, src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray,
+                 n_nodes: int, sorted_by_dst: bool = False):
+        self.src = src
+        self.dst = dst
+        self.w = w
+        self.n_nodes = n_nodes
+        self.sorted_by_dst = sorted_by_dst
+
+    def tree_flatten(self):
+        return (self.src, self.dst, self.w), (self.n_nodes, self.sorted_by_dst)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        src, dst, w = children
+        return cls(src, dst, w, aux[0], aux[1])
+
+    def __repr__(self):
+        return f"NormAdj(E={self.src.shape[0]}, n_nodes={self.n_nodes})"
+
+
+def spmm(adj: NormAdj, x: jnp.ndarray) -> jnp.ndarray:
+    """Sparse (adjacency) @ dense (embeddings) via gather + segment-sum."""
+    contrib = x[adj.src] * adj.w[:, None]
+    return jax.ops.segment_sum(
+        contrib, adj.dst, num_segments=adj.n_nodes,
+        indices_are_sorted=adj.sorted_by_dst,
+    )
+
+
+def lightgcn_propagate(
+    adj: NormAdj,
+    ego: jnp.ndarray,
+    n_layers: int,
+    include_layer0: bool = True,
+    return_layers: bool = False,
+):
+    """K-layer LightGCN propagation, mean over layer outputs.
+
+    ``include_layer0=True`` matches LightGCN (reference LightGCN.py:68-78:
+    the layer list starts with the ego embeddings); SimGCL averages layers
+    1..K only (reference SimGCL.py:83-91 starts with an empty list).
+    """
+    layers: List[jnp.ndarray] = [ego] if include_layer0 else []
+    e = ego
+    for _ in range(n_layers):
+        e = spmm(adj, e)
+        layers.append(e)
+    out = jnp.mean(jnp.stack(layers, axis=0), axis=0)
+    if return_layers:
+        all_layers = [ego] + layers[1:] if include_layer0 else [ego] + layers
+        return out, all_layers
+    return out
+
+
+def perturbed_propagate(
+    adj: NormAdj,
+    ego: jnp.ndarray,
+    n_layers: int,
+    key: jax.Array,
+    eps: float,
+    cl_layer: Optional[int] = None,
+):
+    """SimGCL/XSimGCL noise-perturbed propagation.
+
+    After each hop, adds ``sign(e) * eps * l2_normalize(uniform_noise)``
+    (reference SimGCL.py:85-88 — noise is U[0,1), row-normalized). Averages
+    layers 1..K (layer 0 excluded, SimGCL.py:83). If ``cl_layer`` is given,
+    also returns the layer-``cl_layer`` embedding (XSimGCL.py:93-101; with
+    ``cl_layer=0`` that is the unperturbed ego embedding, matching
+    XSimGCL's initialisation of ``all_embeddings_cl``).
+    """
+    layers: List[jnp.ndarray] = []
+    e = ego
+    cl_emb = ego
+    keys = jax.random.split(key, n_layers)
+    for k in range(n_layers):
+        e = spmm(adj, e)
+        noise = jax.random.uniform(keys[k], e.shape, dtype=e.dtype)
+        noise = noise / (jnp.linalg.norm(noise, axis=-1, keepdims=True) + 1e-12)
+        e = e + jnp.sign(e) * noise * eps
+        layers.append(e)
+        if cl_layer is not None and k == cl_layer - 1:
+            cl_emb = e
+    out = jnp.mean(jnp.stack(layers, axis=0), axis=0)
+    if cl_layer is not None:
+        return out, cl_emb
+    return out
+
+
+def build_norm_adj_from_mask(
+    edge_users: jnp.ndarray,
+    edge_items: jnp.ndarray,
+    keep: jnp.ndarray,
+    n_users: int,
+    n_items: int,
+) -> NormAdj:
+    """Symmetric normalized bipartite adjacency from a kept-edge mask.
+
+    Fully on-device equivalent of edge-dropout → convert_to_laplacian_mat
+    (reference SGL.py:89-96 + ui_graph.py:58-65): degrees are recomputed over
+    the kept edges and each edge gets weight 1/sqrt(d_u * d_i); dropped edges
+    keep their slot with weight 0, so shapes stay static under jit.
+    """
+    w_e = keep.astype(jnp.float32)
+    du = jax.ops.segment_sum(w_e, edge_users, num_segments=n_users)
+    di = jax.ops.segment_sum(w_e, edge_items, num_segments=n_items)
+    inv_sqrt_du = jnp.where(du > 0, jax.lax.rsqrt(jnp.maximum(du, 1e-12)), 0.0)
+    inv_sqrt_di = jnp.where(di > 0, jax.lax.rsqrt(jnp.maximum(di, 1e-12)), 0.0)
+    w = w_e * inv_sqrt_du[edge_users] * inv_sqrt_di[edge_items]
+    src = jnp.concatenate([edge_users, edge_items + n_users])
+    dst = jnp.concatenate([edge_items + n_users, edge_users])
+    return NormAdj(src, dst, jnp.concatenate([w, w]), n_users + n_items)
+
+
+def build_norm_adj_square_from_mask(
+    rows: jnp.ndarray,
+    cols: jnp.ndarray,
+    keep: jnp.ndarray,
+    n: int,
+    symmetric_degree: bool = True,
+) -> NormAdj:
+    """On-device D^-1/2 A D^-1/2 for a square edge list (social graphs)."""
+    w_e = keep.astype(jnp.float32)
+    d_out = jax.ops.segment_sum(w_e, rows, num_segments=n)
+    if symmetric_degree:
+        d_in = jax.ops.segment_sum(w_e, cols, num_segments=n)
+    else:
+        d_in = d_out
+    inv_r = jnp.where(d_out > 0, jax.lax.rsqrt(jnp.maximum(d_out, 1e-12)), 0.0)
+    inv_c = jnp.where(d_in > 0, jax.lax.rsqrt(jnp.maximum(d_in, 1e-12)), 0.0)
+    w = w_e * inv_r[rows] * inv_c[cols]
+    return NormAdj(cols, rows, w, n)
+
+
+def norm_adj_from_scipy(norm_adj) -> NormAdj:
+    """Device NormAdj from a host scipy normalized matrix (one-time setup)."""
+    import numpy as np
+
+    coo = norm_adj.tocoo()
+    order = np.argsort(coo.row, kind="stable")
+    return NormAdj(
+        jnp.asarray(coo.col[order].astype(np.int32)),
+        jnp.asarray(coo.row[order].astype(np.int32)),
+        jnp.asarray(coo.data[order].astype(np.float32)),
+        norm_adj.shape[0],
+        sorted_by_dst=True,
+    )

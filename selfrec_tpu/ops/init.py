@@ -1,0 +1,22 @@
+"""Parameter initialisers matching the reference's torch defaults."""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def xavier_uniform(key, shape, dtype=jnp.float32, gain: float = 1.0):
+    """torch.nn.init.xavier_uniform_ semantics: for a 2D (rows, cols) tensor
+    fan_in=cols, fan_out=rows, bound = gain*sqrt(6/(fan_in+fan_out)).
+    Every reference model initialises its embedding tables this way
+    (e.g. /root/reference/model/graph/MF.py:52-57)."""
+    fan_out, fan_in = shape[0], shape[-1]
+    bound = gain * math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def normal_init(key, shape, std: float = 0.01, dtype=jnp.float32):
+    return std * jax.random.normal(key, shape, dtype)

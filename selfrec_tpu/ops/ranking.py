@@ -1,0 +1,132 @@
+"""Full-catalog ranking evaluation.
+
+Replaces the reference's per-test-user Python loop (one GPU matmul + D2H copy
++ numba heap per user, /root/reference/base/graph_recommender.py:38-58 +
+util/algorithm.py:144-156) with batched device evaluation: a (B x D) x
+(D x I) MXU matmul per user block, rated-item masking via a single scatter of
+-1e9 (the reference's mask value, graph_recommender.py:49), and
+``jax.lax.top_k`` per block. The users-per-block and mask-pad sizes are fixed
+across blocks so the step compiles once.
+
+For sharded eval (item table row-sharded over the ``model`` mesh axis) the
+same kernel runs per shard followed by a cross-shard top-k merge — see
+``selfrec_tpu.parallel``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MASK_VALUE = -1e9  # reference masks rated items with -10e8
+
+
+@partial(jax.jit, static_argnames=("k",))
+def topk_scores(
+    user_emb: jnp.ndarray,
+    item_emb: jnp.ndarray,
+    mask_rows: jnp.ndarray,
+    mask_cols: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k over the full catalog for one user block.
+
+    mask_rows/mask_cols are flat (row-in-block, item) pairs of already-rated
+    interactions, padded with out-of-range rows (dropped by the scatter).
+    Returns (scores, ids) each (B, k), descending.
+    """
+    scores = jnp.dot(user_emb, item_emb.T, preferred_element_type=jnp.float32)
+    scores = scores.at[mask_rows, mask_cols].set(MASK_VALUE, mode="drop")
+    top_scores, top_ids = jax.lax.top_k(scores, k)
+    return top_scores, top_ids
+
+
+@partial(jax.jit, static_argnames=("k",))
+def topk_scores_unmasked(scores: jnp.ndarray, k: int):
+    return jax.lax.top_k(scores, k)
+
+
+def batched_full_rank(
+    user_ids: np.ndarray,
+    get_user_block,
+    item_emb,
+    rated_offsets: np.ndarray,
+    rated_items: np.ndarray,
+    k: int,
+    block_size: int = 1024,
+):
+    """Host driver: iterate user blocks, returning (ids, scores) per user.
+
+    ``get_user_block(uids)`` maps an int32 id array to the block's user
+    embeddings (allows arbitrary encoders). The rated-mask pad size is the
+    max block nnz, computed once so every block reuses one compiled kernel.
+    Yields (user_id, top_item_ids (np), top_scores (np)) in input order.
+    """
+    n = len(user_ids)
+    n_blocks = -(-n // block_size)
+    counts = (rated_offsets[user_ids + 1] - rated_offsets[user_ids]).astype(np.int64)
+    block_nnz = [
+        int(counts[b * block_size : (b + 1) * block_size].sum()) for b in range(n_blocks)
+    ]
+    pad_nnz = max(1, max(block_nnz))
+
+    for b in range(n_blocks):
+        uids = user_ids[b * block_size : (b + 1) * block_size]
+        valid = len(uids)
+        if valid < block_size:
+            uids = np.concatenate(
+                [uids, np.full(block_size - valid, uids[-1], dtype=uids.dtype)]
+            )
+        rows_list, cols_list = [], []
+        for r, u in enumerate(uids[:valid]):
+            lo, hi = rated_offsets[u], rated_offsets[u + 1]
+            cols_list.append(rated_items[lo:hi])
+            rows_list.append(np.full(hi - lo, r, dtype=np.int32))
+        cols = np.concatenate(cols_list) if cols_list else np.zeros(0, np.int32)
+        rows = np.concatenate(rows_list) if rows_list else np.zeros(0, np.int32)
+        pad = pad_nnz - len(rows)
+        # pad with out-of-range rows -> dropped by scatter mode="drop"
+        rows = np.concatenate([rows, np.full(pad, block_size, dtype=np.int32)])
+        cols = np.concatenate([cols, np.zeros(pad, dtype=np.int32)])
+
+        u_emb = get_user_block(jnp.asarray(uids))
+        top_scores, top_ids = topk_scores(
+            u_emb, item_emb, jnp.asarray(rows), jnp.asarray(cols), k
+        )
+        top_scores = np.asarray(top_scores)
+        top_ids = np.asarray(top_ids)
+        for r in range(valid):
+            yield user_ids[b * block_size + r], top_ids[r], top_scores[r]
+
+
+def rec_list_from_embeddings(
+    data,
+    user_emb,
+    item_emb,
+    k: int,
+    block_size: int = 1024,
+) -> Dict[str, List[Tuple[str, float]]]:
+    """Build the reference-format rec_list {user_name: [(item_name, score)]}
+    for all test users from final user/item embedding tables."""
+    user_emb = jnp.asarray(user_emb)
+    item_emb = jnp.asarray(item_emb)
+    rec_list: Dict[str, List[Tuple[str, float]]] = {}
+    gen = batched_full_rank(
+        data.test_user_ids,
+        lambda uids: user_emb[uids],
+        item_emb,
+        data.rated_offsets,
+        data.rated_items,
+        k,
+        block_size=block_size,
+    )
+    for uid, ids, scores in gen:
+        name = data.id2user[int(uid)]
+        rec_list[name] = [
+            (data.id2item[int(i)], float(s)) for i, s in zip(ids, scores)
+        ]
+    return rec_list

@@ -1,0 +1,128 @@
+"""On-device negative sampling.
+
+Replaces the reference's single-threaded host rejection loop
+(/root/reference/util/sampler.py:23-27: resample while the candidate is in
+the user's training set) with a vectorised, jit-compiled sampler: draw
+uniform candidates, test membership with a batched binary search over the
+per-user sorted rated-item CSR, and redraw colliding lanes for a fixed
+number of rounds. With per-user interaction density p, the probability a
+lane still collides after R rounds is p^(R+1) — statistically
+indistinguishable from exact rejection sampling for recommendation densities
+(SURVEY.md §7 hard part (b)).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def searchsorted_in_segments(
+    flat_sorted: jnp.ndarray,
+    offsets: jnp.ndarray,
+    seg_ids: jnp.ndarray,
+    values: jnp.ndarray,
+    n_search_steps: int,
+) -> jnp.ndarray:
+    """Vectorised membership test: values[k] in flat_sorted[offsets[s]:offsets[s+1])
+    where s = seg_ids[k]. Binary search, ``n_search_steps`` >= ceil(log2(max
+    segment length + 1)) iterations (static).
+    """
+    lo = offsets[seg_ids]
+    hi = offsets[seg_ids + 1]
+    hi0 = hi
+    size = flat_sorted.shape[0]
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) >> 1
+        mid_val = flat_sorted[jnp.clip(mid, 0, size - 1)]
+        go_right = mid_val < values
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, n_search_steps, body, (lo, hi))
+    in_range = lo < hi0
+    found = jnp.where(in_range, flat_sorted[jnp.clip(lo, 0, size - 1)] == values, False)
+    return found
+
+
+@partial(jax.jit, static_argnames=("n_items", "n_rounds", "n_search_steps", "shape"))
+def sample_negatives(
+    key: jax.Array,
+    user_idx: jnp.ndarray,
+    rated_items: jnp.ndarray,
+    rated_offsets: jnp.ndarray,
+    n_items: int,
+    shape: Tuple[int, ...],
+    n_rounds: int = 8,
+    n_search_steps: int = 16,
+) -> jnp.ndarray:
+    """Uniform negatives for each (user, slot) in ``shape`` = (B,) or (B, n_negs).
+
+    Resamples lanes that hit a rated item for ``n_rounds`` rounds.
+    """
+    users = user_idx.reshape(-1)
+    if len(shape) == 2:
+        users = jnp.repeat(users, shape[1])
+    keys = jax.random.split(key, n_rounds + 1)
+    cand = jax.random.randint(keys[0], users.shape, 0, n_items, dtype=jnp.int32)
+
+    def round_fn(r, cand):
+        bad = searchsorted_in_segments(
+            rated_items, rated_offsets, users, cand, n_search_steps
+        )
+        fresh = jax.random.randint(
+            jax.random.fold_in(keys[-1], r), users.shape, 0, n_items, dtype=jnp.int32
+        )
+        return jnp.where(bad, fresh, cand)
+
+    cand = jax.lax.fori_loop(0, n_rounds, round_fn, cand)
+    return cand.reshape(shape)
+
+
+def unique_with_mask(idx: jnp.ndarray, size: int):
+    """Deduplicate a 1D index array under jit (static output size).
+
+    Returns (padded unique ids, validity mask). Matches the semantics of the
+    reference's ``torch.unique`` in SimGCL.cal_cl_loss (SimGCL.py:44-45):
+    contrastive anchors are the distinct users/items of the batch.
+    """
+    uniq = jnp.unique(idx, size=size, fill_value=-1)
+    mask = uniq >= 0
+    return jnp.where(mask, uniq, 0), mask
+
+
+def epoch_pairwise_batches(
+    rng,
+    edge_users,
+    edge_items,
+    batch_size: int,
+):
+    """Host-side epoch batching: shuffle the edge list once per epoch and cut
+    into fixed-size batches (last batch padded, with a validity mask).
+
+    Returns numpy arrays of shape (n_batches, batch_size) for users, items,
+    and a float mask — designed to be transferred to device once per epoch
+    and consumed by a lax.scan over batches.
+    Mirrors reference util/sampler.py:5-18 (shuffle + sequential slices).
+    """
+    import numpy as np
+
+    n = len(edge_users)
+    perm = rng.permutation(n)
+    n_batches = -(-n // batch_size)
+    padded = n_batches * batch_size
+    pad = padded - n
+    users = np.concatenate([edge_users[perm], np.zeros(pad, dtype=np.int32)])
+    items = np.concatenate([edge_items[perm], np.zeros(pad, dtype=np.int32)])
+    mask = np.concatenate(
+        [np.ones(n, dtype=np.float32), np.zeros(pad, dtype=np.float32)]
+    )
+    return (
+        users.reshape(n_batches, batch_size),
+        items.reshape(n_batches, batch_size),
+        mask.reshape(n_batches, batch_size),
+    )

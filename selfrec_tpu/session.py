@@ -1,0 +1,36 @@
+"""Session driver.
+
+Equivalent of the reference ``SELFRec`` dispatcher
+(/root/reference/SELFRec.py:4-25): load raw train/test (+social) data once,
+construct the model class from the registry, run its pipeline.
+"""
+
+from __future__ import annotations
+
+from selfrec_tpu.config import ModelConf
+from selfrec_tpu.data import io
+from selfrec_tpu.models import get_model_class, MODEL_REGISTRY
+
+
+class SelfRecTPU:
+    def __init__(self, config: ModelConf):
+        self.config = config
+        self.training_data = io.load_data_set(
+            config["training.set"], config["model"]["type"]
+        )
+        self.test_data = io.load_data_set(config["test.set"], config["model"]["type"])
+        self.kwargs = {}
+        if config.contain("social.data"):
+            social_data = io.load_social_data(config["social.data"])
+            self.kwargs["social.data"] = social_data
+        print("Reading data and preprocessing...")
+
+    def execute(self):
+        model_name = self.config["model"]["name"]
+        cls = get_model_class(model_name)
+        recommender = cls(self.config, self.training_data, self.test_data, **self.kwargs)
+        return recommender.execute()
+
+
+def available_models():
+    return sorted(MODEL_REGISTRY)

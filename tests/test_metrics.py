@@ -1,0 +1,86 @@
+"""Metric parity tests: hand-computed values following the reference's exact
+conventions (insertion-ordered IDCG, interaction-level hit ratio, 5-decimal
+rounding — /root/reference/util/evaluation.py)."""
+
+import math
+
+import pytest
+
+from selfrec_tpu.utils import metrics
+
+
+@pytest.fixture
+def toy():
+    origin = {
+        "u1": {"a": 1, "b": 1, "c": 1},
+        "u2": {"d": 1},
+    }
+    res = {
+        "u1": [("a", 0.9), ("x", 0.8), ("b", 0.7)],
+        "u2": [("y", 0.9), ("z", 0.8), ("d", 0.7)],
+    }
+    return origin, res
+
+
+def test_hits(toy):
+    origin, res = toy
+    h = metrics.hits(origin, res)
+    assert h == {"u1": 2, "u2": 1}
+
+
+def test_hit_ratio_is_interaction_level(toy):
+    origin, res = toy
+    h = metrics.hits(origin, res)
+    # 3 hit interactions / 4 test interactions
+    assert metrics.hit_ratio(origin, h) == round(3 / 4, 5)
+
+
+def test_precision_recall(toy):
+    origin, res = toy
+    h = metrics.hits(origin, res)
+    assert metrics.precision(h, 3) == round(3 / 6, 5)
+    assert metrics.recall(h, origin) == round((2 / 3 + 1 / 1) / 2, 5)
+
+
+def test_ndcg_insertion_order_idcg(toy):
+    origin, res = toy
+    # u1: DCG = 1/log2(2) + 1/log2(4); IDCG over first 3 insertion-order items
+    dcg1 = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg1 = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    dcg2 = 1 / math.log2(4)
+    idcg2 = 1 / math.log2(2)
+    expected = round((dcg1 / idcg1 + dcg2 / idcg2) / 2, 5)
+    assert metrics.ndcg(origin, res, 3) == expected
+
+
+def test_idcg_truncated_by_n():
+    # user has 5 test items but N=2: IDCG uses only first 2
+    origin = {"u": {f"i{k}": 1 for k in range(5)}}
+    res = {"u": [("i0", 0.9), ("i1", 0.8)]}
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)
+    dcg = 1 / math.log2(2) + 1 / math.log2(3)
+    assert metrics.ndcg(origin, res, 2) == round(dcg / idcg, 5)
+
+
+def test_ranking_evaluation_format(toy):
+    origin, res = toy
+    out = metrics.ranking_evaluation(origin, res, [2, 3])
+    assert out[0] == "Top 2\n"
+    assert out[5] == "Top 3\n"
+    assert any(line.startswith("Hit Ratio:") for line in out)
+    perf = metrics.parse_measure(out[5:])
+    assert set(perf) == {"Hit Ratio", "Precision", "Recall", "NDCG"}
+
+
+def test_length_mismatch_raises(toy):
+    origin, res = toy
+    with pytest.raises(ValueError):
+        metrics.ranking_evaluation(origin, {"u1": res["u1"]}, [2])
+
+
+def test_recall_at_catalog_is_one():
+    # property: with the full catalog recommended, recall == 1
+    origin = {"u": {"a": 1, "b": 1}}
+    res = {"u": [(x, 1.0) for x in ["a", "b", "c", "d"]]}
+    h = metrics.hits(origin, res)
+    assert metrics.recall(h, origin) == 1.0

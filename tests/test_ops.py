@@ -1,0 +1,259 @@
+"""Op-level tests: SpMM vs scipy, on-device renormalisation, negative
+sampling invariants, losses vs torch-semantics closed forms, top-k eval."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from selfrec_tpu.ops import losses, ranking, sampling
+from selfrec_tpu.ops.graph import (
+    NormAdj,
+    build_norm_adj_from_mask,
+    lightgcn_propagate,
+    norm_adj_from_scipy,
+    perturbed_propagate,
+    spmm,
+)
+
+
+@pytest.fixture(scope="module")
+def rand_csr():
+    rng = np.random.default_rng(3)
+    dense = (rng.random((50, 50)) < 0.1).astype(np.float32)
+    dense = np.maximum(dense, dense.T)  # symmetric
+    return sp.csr_matrix(dense)
+
+
+def test_spmm_matches_scipy(rand_csr):
+    adj = norm_adj_from_scipy(rand_csr)
+    x = np.random.default_rng(0).standard_normal((50, 8)).astype(np.float32)
+    out = np.asarray(spmm(adj, jnp.asarray(x)))
+    expected = rand_csr @ x
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_identity_is_noop():
+    eye = sp.identity(32, format="csr", dtype=np.float32)
+    adj = norm_adj_from_scipy(eye)
+    x = np.random.default_rng(1).standard_normal((32, 4)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(spmm(adj, jnp.asarray(x))), x, rtol=1e-6)
+
+
+def test_lightgcn_propagate_mean_layers(rand_csr):
+    adj = norm_adj_from_scipy(rand_csr)
+    x = np.random.default_rng(2).standard_normal((50, 8)).astype(np.float32)
+    out = np.asarray(lightgcn_propagate(adj, jnp.asarray(x), 2, include_layer0=True))
+    a = rand_csr.toarray()
+    e1 = a @ x
+    e2 = a @ e1
+    np.testing.assert_allclose(out, (x + e1 + e2) / 3, rtol=1e-4, atol=1e-5)
+
+
+def test_build_norm_adj_from_mask_matches_host():
+    """On-device renormalisation == scipy convert_to_laplacian_mat on the
+    kept-edge submatrix (reference SGL flow)."""
+    rng = np.random.default_rng(5)
+    n_u, n_i, n_e = 12, 15, 60
+    eu = rng.integers(0, n_u, n_e).astype(np.int32)
+    ei = rng.integers(0, n_i, n_e).astype(np.int32)
+    # dedupe to keep degrees exact
+    pairs = np.unique(np.stack([eu, ei], 1), axis=0)
+    eu, ei = pairs[:, 0].astype(np.int32), pairs[:, 1].astype(np.int32)
+    keep = rng.random(len(eu)) > 0.3
+
+    adj = build_norm_adj_from_mask(
+        jnp.asarray(eu), jnp.asarray(ei), jnp.asarray(keep), n_u, n_i
+    )
+    x = rng.standard_normal((n_u + n_i, 6)).astype(np.float32)
+    out = np.asarray(spmm(adj, jnp.asarray(x)))
+
+    kept = sp.csr_matrix(
+        (np.ones(keep.sum(), np.float32), (eu[keep], ei[keep])), shape=(n_u, n_i)
+    )
+    from selfrec_tpu.data.graph import normalize_graph_mat
+
+    n = n_u + n_i
+    upper = sp.csr_matrix(
+        (kept.tocoo().data, (kept.tocoo().row, kept.tocoo().col + n_u)), shape=(n, n)
+    )
+    lap = normalize_graph_mat(upper + upper.T)
+    np.testing.assert_allclose(out, lap @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_perturbed_propagate_noise_bounded(rand_csr):
+    adj = norm_adj_from_scipy(rand_csr)
+    x = np.random.default_rng(2).standard_normal((50, 8)).astype(np.float32)
+    clean = np.asarray(lightgcn_propagate(adj, jnp.asarray(x), 2, include_layer0=False))
+    eps = 0.1
+    pert = np.asarray(
+        perturbed_propagate(adj, jnp.asarray(x), 2, jax.random.PRNGKey(0), eps)
+    )
+    assert not np.allclose(clean, pert)
+    # each layer adds noise with row-norm <= eps; 2 layers of propagation
+    # keep the deviation bounded (loose sanity bound)
+    assert np.linalg.norm(pert - clean, axis=1).max() < 10 * eps
+
+
+def test_negative_sampling_excludes_rated():
+    rng = np.random.default_rng(0)
+    n_users, n_items = 30, 40
+    offsets = [0]
+    flat = []
+    for u in range(n_users):
+        rated = np.sort(rng.choice(n_items, size=rng.integers(1, 20), replace=False))
+        flat.extend(rated.tolist())
+        offsets.append(len(flat))
+    flat = jnp.asarray(np.array(flat, np.int32))
+    offsets_a = jnp.asarray(np.array(offsets, np.int32))
+    users = jnp.asarray(rng.integers(0, n_users, 512).astype(np.int32))
+    negs = sampling.sample_negatives(
+        jax.random.PRNGKey(1), users, flat, offsets_a, n_items,
+        shape=(512,), n_rounds=32, n_search_steps=8,
+    )
+    negs = np.asarray(negs)
+    offsets = np.array(offsets)
+    flat_np = np.asarray(flat)
+    for u, j in zip(np.asarray(users), negs):
+        rated = set(flat_np[offsets[u] : offsets[u + 1]].tolist())
+        assert int(j) not in rated
+        assert 0 <= j < n_items
+
+
+def test_searchsorted_membership():
+    flat = jnp.asarray(np.array([1, 5, 9, 2, 2, 7], np.int32))
+    offsets = jnp.asarray(np.array([0, 3, 6], np.int32))
+    seg = jnp.asarray(np.array([0, 0, 1, 1], np.int32))
+    vals = jnp.asarray(np.array([5, 4, 2, 9], np.int32))
+    found = sampling.searchsorted_in_segments(flat, offsets, seg, vals, 4)
+    np.testing.assert_array_equal(np.asarray(found), [True, False, True, False])
+
+
+def test_unique_with_mask():
+    idx = jnp.asarray(np.array([3, 1, 3, 7, 1], np.int32))
+    uniq, mask = sampling.unique_with_mask(idx, 5)
+    got = set(np.asarray(uniq)[np.asarray(mask)].tolist())
+    assert got == {1, 3, 7}
+    assert int(mask.sum()) == 3
+
+
+# ---- losses ------------------------------------------------------------
+
+
+def test_bpr_loss_closed_form():
+    u = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    p = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    n = jnp.asarray([[0.0, 0.0], [0.0, 0.0]])
+    val = float(losses.bpr_loss(u, p, n))
+    expected = -np.log(1e-5 + 1 / (1 + np.exp(-1.0)))
+    np.testing.assert_allclose(val, expected, rtol=1e-5)
+
+
+def test_bpr_loss_mask_matches_subset():
+    rng = np.random.default_rng(0)
+    u, p, n = (jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32)) for _ in range(3))
+    mask = jnp.asarray(np.array([1, 1, 1, 1, 1, 0, 0, 0], np.float32))
+    masked = float(losses.bpr_loss(u, p, n, mask=mask))
+    subset = float(losses.bpr_loss(u[:5], p[:5], n[:5]))
+    np.testing.assert_allclose(masked, subset, rtol=1e-6)
+
+
+def test_l2_reg_loss_frobenius_over_rows():
+    e = jnp.asarray(np.ones((4, 3), np.float32))
+    val = float(losses.l2_reg_loss(0.5, e))
+    np.testing.assert_allclose(val, 0.5 * np.sqrt(12) / 4, rtol=1e-5)
+
+
+def test_infonce_matches_manual():
+    rng = np.random.default_rng(1)
+    v1 = rng.standard_normal((6, 4)).astype(np.float32)
+    v2 = rng.standard_normal((6, 4)).astype(np.float32)
+    val = float(losses.infonce(jnp.asarray(v1), jnp.asarray(v2), 0.2))
+    n1 = v1 / np.linalg.norm(v1, axis=1, keepdims=True)
+    n2 = v2 / np.linalg.norm(v2, axis=1, keepdims=True)
+    logits = n1 @ n2.T / 0.2
+    logp = logits - np.log(np.exp(logits).sum(1, keepdims=True))
+    np.testing.assert_allclose(val, -np.diag(logp).mean(), rtol=1e-4)
+
+
+def test_infonce_mask_matches_subset():
+    rng = np.random.default_rng(2)
+    v1 = jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32))
+    v2 = jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32))
+    mask = jnp.asarray(np.array([1] * 5 + [0] * 3, np.float32))
+    masked = float(losses.infonce(v1, v2, 0.2, mask=mask))
+    subset = float(losses.infonce(v1[:5], v2[:5], 0.2))
+    np.testing.assert_allclose(masked, subset, rtol=1e-4)
+
+
+def test_uniformity_matches_pdist():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((10, 4)).astype(np.float32)
+    val = float(losses.uniformity_loss(jnp.asarray(x)))
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    d2 = []
+    for i in range(10):
+        for j in range(i + 1, 10):
+            d2.append(((xn[i] - xn[j]) ** 2).sum())
+    expected = np.log(np.mean(np.exp(-2 * np.array(d2))))
+    np.testing.assert_allclose(val, expected, rtol=1e-4)
+
+
+def test_batch_softmax_loss_manual():
+    rng = np.random.default_rng(4)
+    u = rng.standard_normal((5, 3)).astype(np.float32)
+    i = rng.standard_normal((5, 3)).astype(np.float32)
+    val = float(losses.batch_softmax_loss(jnp.asarray(u), jnp.asarray(i), 0.5))
+    un = u / np.linalg.norm(u, axis=1, keepdims=True)
+    iN = i / np.linalg.norm(i, axis=1, keepdims=True)
+    pos = np.exp((un * iN).sum(1) / 0.5)
+    ttl = np.exp(un @ iN.T / 0.5).sum(1)
+    expected = -np.log(pos / ttl + 1e-5).mean()
+    np.testing.assert_allclose(val, expected, rtol=1e-4)
+
+
+# ---- ranking ------------------------------------------------------------
+
+
+def test_topk_masks_rated_items():
+    user_emb = jnp.asarray(np.eye(4, 6, dtype=np.float32))
+    item_emb = jnp.asarray(np.eye(6, 6, dtype=np.float32) * 10)
+    # user r's best item is item r; mask it for rows 0 and 1
+    rows = jnp.asarray(np.array([0, 1, 99], np.int32))  # 99 out of range -> dropped
+    cols = jnp.asarray(np.array([0, 1, 0], np.int32))
+    scores, ids = ranking.topk_scores(user_emb, item_emb, rows, cols, 2)
+    ids = np.asarray(ids)
+    assert 0 not in ids[0]
+    assert 1 not in ids[1]
+    assert np.asarray(scores)[2][0] == 10.0  # unmasked row keeps its max
+
+
+def test_batched_full_rank_matches_argsort():
+    rng = np.random.default_rng(6)
+    n_u, n_i, d = 23, 17, 5
+    ue = rng.standard_normal((n_u, d)).astype(np.float32)
+    ie = rng.standard_normal((n_i, d)).astype(np.float32)
+    offsets = [0]
+    flat = []
+    for u in range(n_u):
+        rated = np.sort(rng.choice(n_i, size=rng.integers(0, 5), replace=False))
+        flat.extend(rated.tolist())
+        offsets.append(len(flat))
+    offsets = np.array(offsets, np.int32)
+    flat = np.array(flat, np.int32)
+    user_ids = np.arange(n_u, dtype=np.int32)
+    results = list(
+        ranking.batched_full_rank(
+            user_ids, lambda uids: jnp.asarray(ue)[uids], jnp.asarray(ie),
+            offsets, flat, k=4, block_size=8,
+        )
+    )
+    assert len(results) == n_u
+    for uid, ids, scores in results:
+        ref_scores = ue[uid] @ ie.T
+        ref_scores[flat[offsets[uid] : offsets[uid + 1]]] = -1e9
+        expected = np.argsort(-ref_scores)[:4]
+        np.testing.assert_array_equal(np.sort(ids), np.sort(expected))
+        assert np.all(np.diff(scores) <= 1e-6)
