@@ -32,6 +32,7 @@ from selfrec_tpu.data.interaction import Interaction
 from selfrec_tpu.data.sequence import Sequence
 from selfrec_tpu.data import io
 from selfrec_tpu.ops import ranking, sampling
+from selfrec_tpu.parallel import mesh as mesh_lib
 from selfrec_tpu.utils import metrics
 from selfrec_tpu.utils.logger import Log
 
@@ -226,6 +227,7 @@ class JAXGraphRecommender(GraphRecommender):
         super().__init__(conf, training_set, test_set, **kwargs)
         self.rng = np.random.default_rng(self.seed)
         self.key = jax.random.PRNGKey(self.seed)
+        self.mesh = self._build_mesh()
         self._rated_items = jnp.asarray(self.data.rated_items)
         self._rated_offsets = jnp.asarray(self.data.rated_offsets)
         max_deg = int(self.data.rated_counts().max()) if self.data.user_num else 1
@@ -254,12 +256,45 @@ class JAXGraphRecommender(GraphRecommender):
     def make_optimizer(self):
         return optax.adam(self.lrate)
 
+    # -- mesh / sharding ------------------------------------------------------
+    def _build_mesh(self):
+        """Build the (data, model) device mesh if configured.
+
+        Config section (absent in the reference — scale-out is new here):
+        ``mesh: {data: D, model: M}``. Returns None (single-device path) when
+        unconfigured or when the mesh would be 1x1.
+        """
+        if not self.config.contain("mesh"):
+            return None
+        m = self.config["mesh"] or {}
+        n_data = int(m.get("data", 0)) or None
+        n_model = int(m.get("model", 0)) or None
+        built = mesh_lib.build_mesh(n_data, n_model)
+        if built.devices.size <= 1:
+            return None
+        return built
+
+    def shard_adj(self, adj):
+        """Place a NormAdj's edge arrays over the data axis (sharded partial
+        segment-sums; GSPMD adds the psum). No-op on a single device."""
+        if self.mesh is None:
+            return adj
+        es = mesh_lib.edge_sharding(self.mesh)
+        adj.src = jax.device_put(adj.src, es)
+        adj.dst = jax.device_put(adj.dst, es)
+        adj.w = jax.device_put(adj.w, es)
+        return adj
+
     # -- machinery ------------------------------------------------------------
     def build(self):
         self.key, init_key = jax.random.split(self.key)
         self.params = self.init_params(init_key)
         self.optimizer = self.make_optimizer()
-        self.opt_state = self.optimizer.init(self.params)
+        if self.mesh is not None:
+            self.params = mesh_lib.shard_params(self.params, self.mesh)
+            self.opt_state = jax.jit(self.optimizer.init)(self.params)
+        else:
+            self.opt_state = self.optimizer.init(self.params)
         self._compute_emb_jit = jax.jit(self.compute_embeddings)
 
     def _make_epoch_fn(self):
@@ -304,14 +339,20 @@ class JAXGraphRecommender(GraphRecommender):
             self.rng, self.data.edge_users, self.data.edge_items, self.batch_size
         )
         aux = self.epoch_setup(epoch)
+        users, items, masks = (jnp.asarray(users), jnp.asarray(items), jnp.asarray(masks))
+        if self.mesh is not None:
+            sb = mesh_lib.scan_batch_sharding(self.mesh)
+            users = jax.device_put(users, sb)
+            items = jax.device_put(items, sb)
+            masks = jax.device_put(masks, sb)
         self.params, self.opt_state, self.key, losses = self._epoch_fn(
             self.params,
             self.opt_state,
             self.key,
             aux,
-            jnp.asarray(users),
-            jnp.asarray(items),
-            jnp.asarray(masks),
+            users,
+            items,
+            masks,
         )
         return np.asarray(losses)
 

@@ -24,7 +24,7 @@ class LightGCN(JAXGraphRecommender):
         super().__init__(conf, training_set, test_set, **kwargs)
         args = conf[self.model_name] if conf.contain(self.model_name) else {}
         self.n_layers = int(args.get("n_layer", 2))
-        self.adj = norm_adj_from_scipy(self.data.norm_adj)
+        self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
 
     def init_params(self, key):
         ku, ki = jax.random.split(key)

@@ -1,0 +1,127 @@
+"""SGL (Self-supervised Graph Learning).
+
+Capability parity with /root/reference/model/graph/SGL.py (live torch part,
+SGL.py:13-127): LightGCN propagation (mean over layers INCLUDING layer 0,
+SGL.py:100-111), BPR + L2(u,pos,neg) (not batch-size scaled, SGL.py:36) +
+cl_rate x InfoNCE over concatenated [user;item] anchors of two views
+propagated through two per-EPOCH dropped adjacencies (SGL.py:28-29,115-127).
+``aug_type`` 0 = node dropout, 1/2 = edge dropout. The reference's
+``graph_reconstruction`` has ``if self.aug_type==0 or 1`` (SGL.py:81) which
+is always truthy, so the per-layer adjacency list branch for aug_type 2 is
+dead code; we reproduce the effective behaviour (one dropped adjacency per
+view per epoch). fast_evaluation only from epoch >= 5 (SGL.py:44-45).
+
+TPU notes: dropout picks kept edges on host (exact reference keep counts,
+data/augmentor.py:11-40) but the re-normalisation and the adjacency itself
+are built ON DEVICE from a static-shape keep mask
+(ops/graph.build_norm_adj_from_mask) — no scipy rebuild, no recompile across
+epochs; the two views ride the scanned epoch as part of the carry.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from selfrec_tpu.models.base import JAXGraphRecommender
+from selfrec_tpu.ops import losses
+from selfrec_tpu.ops.graph import (
+    build_norm_adj_from_mask,
+    lightgcn_propagate,
+    norm_adj_from_scipy,
+)
+from selfrec_tpu.ops.init import xavier_uniform
+from selfrec_tpu.ops.sampling import unique_with_mask
+
+
+class SGL(JAXGraphRecommender):
+    def __init__(self, conf, training_set, test_set, **kwargs):
+        super().__init__(conf, training_set, test_set, **kwargs)
+        args = conf[self.model_name] if conf.contain(self.model_name) else {}
+        self.cl_rate = float(args.get("lambda", 0.1))
+        self.aug_type = int(args.get("aug_type", 1))
+        self.drop_rate = float(args.get("drop_rate", 0.1))
+        self.n_layers = int(args.get("n_layer", 2))
+        self.temp = float(args.get("temp", 0.2))
+        self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
+        self._edge_users_dev = jnp.asarray(self.data.edge_users)
+        self._edge_items_dev = jnp.asarray(self.data.edge_items)
+
+    def init_params(self, key):
+        ku, ki = jax.random.split(key)
+        return {
+            "user_emb": xavier_uniform(ku, (self.data.user_num, self.emb_size)),
+            "item_emb": xavier_uniform(ki, (self.data.item_num, self.emb_size)),
+        }
+
+    def _ego(self, params):
+        return jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
+
+    def compute_embeddings(self, params):
+        out = lightgcn_propagate(
+            self.adj, self._ego(params), self.n_layers, include_layer0=True
+        )
+        return out[: self.data.user_num], out[self.data.user_num :]
+
+    # -- per-epoch dropped views --------------------------------------------
+    def _edge_keep_mask(self) -> np.ndarray:
+        """Kept-edge indicator with the reference augmentor's exact counts."""
+        n_e = self.data.n_edges
+        keep = np.zeros(n_e, dtype=bool)
+        if self.aug_type == 0:
+            n_u, n_i = self.data.user_num, self.data.item_num
+            drop_u = self.rng.choice(n_u, size=int(n_u * self.drop_rate), replace=False)
+            drop_i = self.rng.choice(n_i, size=int(n_i * self.drop_rate), replace=False)
+            keep_u = np.ones(n_u, dtype=bool)
+            keep_i = np.ones(n_i, dtype=bool)
+            keep_u[drop_u] = False
+            keep_i[drop_i] = False
+            keep = keep_u[self.data.edge_users] & keep_i[self.data.edge_items]
+        else:
+            kept = self.rng.choice(
+                n_e, size=int(n_e * (1 - self.drop_rate)), replace=False
+            )
+            keep[kept] = True
+        return keep
+
+    def _dropped_adj(self):
+        return build_norm_adj_from_mask(
+            self._edge_users_dev,
+            self._edge_items_dev,
+            jnp.asarray(self._edge_keep_mask()),
+            self.data.user_num,
+            self.data.item_num,
+        )
+
+    def epoch_setup(self, epoch):
+        return {"adj1": self._dropped_adj(), "adj2": self._dropped_adj()}
+
+    # -- loss ----------------------------------------------------------------
+    def cl_loss(self, params, batch, aux):
+        ego = self._ego(params)
+        view1 = lightgcn_propagate(aux["adj1"], ego, self.n_layers, include_layer0=True)
+        view2 = lightgcn_propagate(aux["adj2"], ego, self.n_layers, include_layer0=True)
+        nu = self.data.user_num
+        valid = batch["mask"].astype(bool)
+        u_idx, u_mask = unique_with_mask(
+            jnp.where(valid, batch["u"], -1), self.batch_size
+        )
+        i_idx, i_mask = unique_with_mask(
+            jnp.where(valid, batch["i"], -1), self.batch_size
+        )
+        v1 = jnp.concatenate([view1[:nu][u_idx], view1[nu:][i_idx]], axis=0)
+        v2 = jnp.concatenate([view2[:nu][u_idx], view2[nu:][i_idx]], axis=0)
+        m = jnp.concatenate([u_mask, i_mask], axis=0)
+        return losses.infonce(v1, v2, self.temp, mask=m)
+
+    def batch_loss(self, params, batch, key):
+        user_all, item_all = self.compute_embeddings(params)
+        u = user_all[batch["u"]]
+        p = item_all[batch["i"]]
+        n = item_all[batch["j"]]
+        mask = batch["mask"]
+        rec = losses.bpr_loss(u, p, n, mask=mask)
+        reg = losses.l2_reg_loss(self.reg, u, p, n, mask=mask)
+        cl = self.cl_rate * self.cl_loss(params, batch, batch["aux"])
+        return rec + reg + cl

@@ -132,6 +132,12 @@ def alignment_loss(x, y, alpha: int = 2):
     return jnp.mean(jnp.sum((x - y) ** 2, axis=-1) ** (alpha / 2))
 
 
+def alignment_loss_masked(x, y, mask=None):
+    """Alignment with padded-row masking (fixed-shape batches)."""
+    x, y = l2_normalize(x), l2_normalize(y)
+    return _masked_mean(jnp.sum((x - y) ** 2, axis=-1), mask)
+
+
 def uniformity_loss(x, t: int = 2):
     """DirectAU uniformity: log E exp(-t ||xi-xj||^2) over distinct pairs
     (reference DirectAU.py:42-45 uses torch.pdist — strictly i<j pairs)."""

@@ -1,0 +1,64 @@
+"""Deterministic synthetic benchmark datasets.
+
+The headline-benchmark dataset (yelp2018) is stripped from the reference
+mount (/root/reference/.MISSING_LARGE_BLOBS), so throughput benchmarks run on
+a deterministic synthetic graph with yelp2018's published marginals
+(31,668 users / 38,048 items / 1,561,406 interactions — SGL paper, Table 2).
+Throughput of every op in the training path (SpMM over the fixed-nnz
+adjacency, gathers, losses, Adam) depends only on shapes/nnz, not on which
+edges exist, so this is a faithful perf stand-in; quality parity is a
+separate concern validated on real data tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+YELP2018_USERS = 31668
+YELP2018_ITEMS = 38048
+YELP2018_INTERACTIONS = 1561406
+
+
+def synth_graph_triples(
+    n_users: int = YELP2018_USERS,
+    n_items: int = YELP2018_ITEMS,
+    n_interactions: int = YELP2018_INTERACTIONS,
+    seed: int = 2018,
+    test_per_user: int = 1,
+):
+    """(train, test) lists of (user, item, weight) string triples.
+
+    User degrees follow a lognormal clipped to [3, 2048]; item popularity is
+    Zipf-like. Each user contributes ``test_per_user`` held-out items.
+    """
+    rng = np.random.default_rng(seed)
+    deg = np.clip(
+        rng.lognormal(mean=np.log(n_interactions / n_users), sigma=1.0, size=n_users),
+        3,
+        2048,
+    )
+    deg = np.maximum(
+        (deg * (n_interactions / deg.sum())).astype(np.int64), 2 + test_per_user
+    )
+    item_pop = 1.0 / np.arange(1, n_items + 1) ** 0.8
+    item_pop /= item_pop.sum()
+
+    users_col = np.repeat(np.arange(n_users), deg)
+    items_col = rng.choice(n_items, size=len(users_col), p=item_pop)
+    # dedupe (user, item) pairs so the graph has no multi-edges
+    pair_key = users_col.astype(np.int64) * n_items + items_col
+    _, uniq_idx = np.unique(pair_key, return_index=True)
+    users_col = users_col[np.sort(uniq_idx)]
+    items_col = items_col[np.sort(uniq_idx)]
+
+    # hold out the last interaction of each user as test
+    order = np.argsort(users_col, kind="stable")
+    users_col, items_col = users_col[order], items_col[order]
+    is_last = np.r_[users_col[:-1] != users_col[1:], True]
+    test_mask = is_last
+    tr_u, tr_i = users_col[~test_mask], items_col[~test_mask]
+    te_u, te_i = users_col[test_mask], items_col[test_mask]
+
+    train = [(f"u{u}", f"i{i}", 1.0) for u, i in zip(tr_u, tr_i)]
+    test = [(f"u{u}", f"i{i}", 1.0) for u, i in zip(te_u, te_i)]
+    return train, test

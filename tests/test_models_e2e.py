@@ -63,6 +63,50 @@ def test_lightgcn_end_to_end(tiny_graph_dataset):
     assert perf["Recall"] > 0.2
 
 
+def test_simgcl_end_to_end(tiny_graph_dataset):
+    model, perf = run_model(
+        "SimGCL",
+        tiny_graph_dataset,
+        extra={"n_layer": 2, "lambda": 0.5, "eps": 0.1},
+    )
+    assert perf["Recall"] > 0.2
+
+
+def test_xsimgcl_end_to_end(tiny_graph_dataset):
+    model, perf = run_model(
+        "XSimGCL",
+        tiny_graph_dataset,
+        extra={"n_layer": 2, "l_star": 1, "lambda": 0.2, "eps": 0.2, "tau": 0.15},
+    )
+    assert perf["Recall"] > 0.2
+
+
+@pytest.mark.parametrize("aug_type", [0, 1])
+def test_sgl_end_to_end(tiny_graph_dataset, aug_type):
+    model, perf = run_model(
+        "SGL",
+        tiny_graph_dataset,
+        extra={
+            "n_layer": 2,
+            "lambda": 0.1,
+            "drop_rate": 0.1,
+            "aug_type": aug_type,
+            "temp": 0.2,
+        },
+    )
+    assert perf["Recall"] > 0.2
+
+
+def test_directau_end_to_end(tiny_graph_dataset):
+    model, perf = run_model(
+        "DirectAU",
+        tiny_graph_dataset,
+        extra={"gamma": 2, "n_layers": 2},
+        max_epoch=10,
+    )
+    assert perf["Recall"] > 0.15
+
+
 def test_mf_deterministic_with_seed(tiny_graph_dataset):
     _, perf1 = run_model("MF", tiny_graph_dataset, max_epoch=2)
     _, perf2 = run_model("MF", tiny_graph_dataset, max_epoch=2)
