@@ -221,6 +221,7 @@ class JAXGraphRecommender(GraphRecommender):
     """
 
     n_neg_rounds = 8
+    n_negs = 1  # negatives per positive; MixGCF overrides (reference n_negs=64)
     log_batch_interval = 100
 
     def __init__(self, conf, training_set, test_set, **kwargs):
@@ -235,6 +236,7 @@ class JAXGraphRecommender(GraphRecommender):
         self.params = None
         self.opt_state = None
         self.optimizer = None
+        self.aux: Dict[str, Any] = {}  # persistent per-step state (BUIR/SelfCF)
         self._epoch_fn = None
 
     # -- subclass contract ---------------------------------------------------
@@ -247,11 +249,25 @@ class JAXGraphRecommender(GraphRecommender):
     def batch_loss(self, params, batch: Dict[str, jnp.ndarray], key) -> jnp.ndarray:
         raise NotImplementedError
 
+    def batch_loss_aux(self, params, batch: Dict[str, jnp.ndarray], key):
+        """(loss, new_aux) — override when the model mutates per-step state
+        INSIDE the loss computation (e.g. SelfCF's history-embedding buffers).
+        new_aux must keep the structure of batch['aux']. Default: plain
+        batch_loss, aux unchanged."""
+        return self.batch_loss(params, batch, key), batch["aux"]
+
     # epoch hooks
     def epoch_setup(self, epoch: int) -> Dict[str, Any]:
         """Returns per-epoch auxiliary pytree passed to batch_loss via
         batch['aux'] (e.g. dropped adjacencies, cluster centroids)."""
         return {}
+
+    def step_update(self, params, aux, batch: Dict[str, jnp.ndarray]):
+        """Post-optimizer per-step aux update (runs inside the scanned step,
+        AFTER apply_updates — e.g. BUIR's row-wise momentum target update,
+        reference BUIR.py:36 calls update_target after optimizer.step()).
+        Default: aux unchanged."""
+        return aux
 
     def make_optimizer(self):
         return optax.adam(self.lrate)
@@ -304,31 +320,39 @@ class JAXGraphRecommender(GraphRecommender):
         rated_offsets = self._rated_offsets
         optimizer = self.optimizer
 
+        n_negs = self.n_negs
+
         def step(carry, batch):
             params, opt_state, key, aux = carry
             key, k_neg, k_loss = jax.random.split(key, 3)
+            neg_shape = (
+                batch["u"].shape if n_negs == 1 else (batch["u"].shape[0], n_negs)
+            )
             neg = sampling.sample_negatives(
                 k_neg,
                 batch["u"],
                 rated_items,
                 rated_offsets,
                 n_items,
-                shape=batch["u"].shape,
+                shape=neg_shape,
                 n_rounds=self.n_neg_rounds,
                 n_search_steps=n_search,
             )
             full_batch = dict(batch, j=neg, aux=aux)
-            loss, grads = jax.value_and_grad(self.batch_loss)(params, full_batch, k_loss)
+            (loss, aux), grads = jax.value_and_grad(
+                self.batch_loss_aux, has_aux=True
+            )(params, full_batch, k_loss)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            aux = self.step_update(params, aux, full_batch)
             return (params, opt_state, key, aux), loss
 
         def epoch_fn(params, opt_state, key, aux, users, items, masks):
-            (params, opt_state, key, _), losses = jax.lax.scan(
+            (params, opt_state, key, aux), losses = jax.lax.scan(
                 step, (params, opt_state, key, aux),
                 {"u": users, "i": items, "mask": masks},
             )
-            return params, opt_state, key, losses
+            return params, opt_state, key, aux, losses
 
         return jax.jit(epoch_fn, donate_argnums=(0, 1))
 
@@ -345,7 +369,7 @@ class JAXGraphRecommender(GraphRecommender):
             users = jax.device_put(users, sb)
             items = jax.device_put(items, sb)
             masks = jax.device_put(masks, sb)
-        self.params, self.opt_state, self.key, losses = self._epoch_fn(
+        self.params, self.opt_state, self.key, self.aux, losses = self._epoch_fn(
             self.params,
             self.opt_state,
             self.key,

@@ -166,6 +166,19 @@ def build_norm_adj_square_from_mask(
     return NormAdj(cols, rows, w, n)
 
 
+def adj_dropout(adj: NormAdj, key: jax.Array, rate) -> NormAdj:
+    """Per-step sparse dropout of adjacency entries: keep each edge with
+    probability 1-rate, scale kept weights by 1/(1-rate). Matches the
+    reference's ``sparse_dropout`` (BUIR.py:118-127, MixGCF.py:86-96) which
+    rescales but does NOT re-normalize degrees. ``rate`` may be a traced
+    scalar (BUIR draws rate = U[0,1) * drop_ratio per forward, BUIR.py:135).
+    Static shapes: dropped edges keep their slot with weight 0.
+    """
+    keep = jax.random.uniform(key, adj.w.shape) >= rate
+    w = jnp.where(keep, adj.w / (1.0 - rate), 0.0)
+    return NormAdj(adj.src, adj.dst, w, adj.n_nodes, adj.sorted_by_dst)
+
+
 def norm_adj_from_scipy(norm_adj) -> NormAdj:
     """Device NormAdj from a host scipy normalized matrix (one-time setup)."""
     import numpy as np

@@ -20,3 +20,21 @@ def xavier_uniform(key, shape, dtype=jnp.float32, gain: float = 1.0):
 
 def normal_init(key, shape, std: float = 0.01, dtype=jnp.float32):
     return std * jax.random.normal(key, shape, dtype)
+
+
+def torch_linear_params(key, in_features: int, out_features: int, dtype=jnp.float32):
+    """W (in, out) + b (out,) with torch.nn.Linear's default init:
+    kaiming_uniform(a=sqrt(5)) on the weight == U[-1/sqrt(fan_in),
+    1/sqrt(fan_in)], same bound for the bias. Used for the reference's
+    predictor/tower layers (BUIR.py:63, SelfCF.py:62, SSL4Rec.py:65-75)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_features)
+    w = jax.random.uniform(
+        kw, (in_features, out_features), dtype, minval=-bound, maxval=bound
+    )
+    b = jax.random.uniform(kb, (out_features,), dtype, minval=-bound, maxval=bound)
+    return {"w": w, "b": b}
+
+
+def linear_apply(p, x):
+    return x @ p["w"] + p["b"]
