@@ -114,7 +114,40 @@ class Recommender:
         return rec_list
 
 
-class GraphRecommender(Recommender):
+class _FastEvalMixin:
+    """Shared fast_evaluation: per-epoch eval at max_N, keep best by
+    majority-of-metrics vote, save() on improvement (reference
+    base/graph_recommender.py:81-104 == base/seq_recommender.py:60-83)."""
+
+    def fast_evaluation(self, epoch: int):
+        print("Evaluating the model...")
+        rec_list = self.test()
+        measure = metrics.ranking_evaluation(self.data.test_set, rec_list, [self.max_N])
+        performance = metrics.parse_measure(measure)
+
+        if self.best_performance:
+            count = sum(
+                1 if self.best_performance[1][k] > performance[k] else -1
+                for k in performance
+            )
+            if count < 0:
+                self.best_performance = [epoch + 1, performance]
+                self.save()
+        else:
+            self.best_performance = [epoch + 1, performance]
+            self.save()
+
+        print("-" * 80)
+        print(f"Real-Time Ranking Performance (Top-{self.max_N} Item Recommendation)")
+        measure_str = ", ".join(f"{k}: {v}" for k, v in performance.items())
+        print(f"*Current Performance*\nEpoch: {epoch + 1}, {measure_str}")
+        bp = ", ".join(f"{k}: {v}" for k, v in self.best_performance[1].items())
+        print(f"*Best Performance*\nEpoch: {self.best_performance[0]}, {bp}")
+        print("-" * 80)
+        return measure
+
+
+class GraphRecommender(_FastEvalMixin, Recommender):
     """Graph (user-item) recommender base with batched device evaluation."""
 
     eval_interval = 5  # fast_evaluation cadence in epochs (reference: every 5 for LightGCN)
@@ -176,34 +209,6 @@ class GraphRecommender(Recommender):
         self.model_log.add(self.result)
         io.write_file(out_dir, file_name, self.result)
         print(f"The result of {self.model_name}:\n{''.join(self.result)}")
-
-    def fast_evaluation(self, epoch: int):
-        print("Evaluating the model...")
-        rec_list = self.test()
-        measure = metrics.ranking_evaluation(self.data.test_set, rec_list, [self.max_N])
-        performance = metrics.parse_measure(measure)
-
-        if self.best_performance:
-            count = sum(
-                1 if self.best_performance[1][k] > performance[k] else -1
-                for k in performance
-            )
-            if count < 0:
-                self.best_performance = [epoch + 1, performance]
-                self.save()
-        else:
-            self.best_performance = [epoch + 1, performance]
-            self.save()
-
-        print("-" * 80)
-        print(f"Real-Time Ranking Performance (Top-{self.max_N} Item Recommendation)")
-        measure_str = ", ".join(f"{k}: {v}" for k, v in performance.items())
-        print(f"*Current Performance*\nEpoch: {epoch + 1}, {measure_str}")
-        bp = ", ".join(f"{k}: {v}" for k, v in self.best_performance[1].items())
-        print(f"*Best Performance*\nEpoch: {self.best_performance[0]}, {bp}")
-        print("-" * 80)
-        return measure
-
 
 class JAXGraphRecommender(GraphRecommender):
     """Shared training machinery for embedding-table graph models.
@@ -396,3 +401,182 @@ class JAXGraphRecommender(GraphRecommender):
         user_emb, item_emb = self._compute_emb_jit(self.params)
         self.best_user_emb = jax.device_get(user_emb)
         self.best_item_emb = jax.device_get(item_emb)
+
+
+class SequentialRecommender(_FastEvalMixin, Recommender):
+    """Sequential recommender base: padded-array data + batched device eval.
+
+    Parity with reference base/seq_recommender.py:8-83: eval scores the LAST
+    position of every training sequence against the full item table (no
+    rated-item masking — SASRec.py:55-60), top-max_N, pad/oov ids filtered
+    AFTER the top-k (seq_recommender.py:47-50), ``evaluate()`` is a no-op
+    returning 0 (seq_recommender.py:57-58).
+    """
+
+    def __init__(self, conf, training_set, test_set, **kwargs):
+        super().__init__(conf, training_set, test_set, **kwargs)
+        self.data = Sequence(conf, training_set, test_set)
+        self.max_len = int(conf["max.len"])
+        self.best_performance: list = []
+        self.topN = [int(n) for n in self.ranking_topns]
+        self.max_N = max(self.topN)
+
+    def print_model_info(self):
+        super().print_model_info()
+        print(
+            f"Training Set Size: (sequence number: {self.data.raw_seq_num},"
+            f" item number: {self.data.item_num})"
+        )
+        print("=" * 80)
+
+    def predict_scores(self, params, seq, pos, seq_len):
+        """(B, vocab) last-position scores; model-specific."""
+        raise NotImplementedError
+
+    def test(self) -> Dict[str, list]:
+        seq, pos, seq_len = self.data.padded_test_arrays(self.max_len)
+        n = seq.shape[0]
+        bs = self.batch_size
+        rec_list: Dict[str, list] = {}
+        predict = self._predict_jit
+        for b0 in range(0, n, bs):
+            s, p, sl = seq[b0 : b0 + bs], pos[b0 : b0 + bs], seq_len[b0 : b0 + bs]
+            valid = s.shape[0]
+            if valid < bs:  # pad block to keep one compiled shape
+                padk = bs - valid
+                s = np.concatenate([s, np.zeros((padk, s.shape[1]), s.dtype)])
+                p = np.concatenate([p, np.zeros((padk, p.shape[1]), p.dtype)])
+                sl = np.concatenate([sl, np.ones(padk, sl.dtype)])
+            scores, ids = ranking.topk_scores_unmasked(
+                predict(self.params, jnp.asarray(s), jnp.asarray(p), jnp.asarray(sl)),
+                self.max_N,
+            )
+            ids = np.asarray(ids)
+            scores = np.asarray(scores)
+            for r in range(valid):
+                name = self.data.original_seq[b0 + r][0]
+                rec_list[name] = [
+                    (self.data.id2item[int(i)], float(sc))
+                    for i, sc in zip(ids[r], scores[r])
+                    if 0 < int(i) <= self.data.item_num
+                ]
+        return rec_list
+
+    def evaluate(self, rec_list):
+        return 0
+
+
+class JAXSequentialRecommender(SequentialRecommender):
+    """Scan-compiled training over padded sequence batches.
+
+    Subclass contract:
+      init_params(key) -> params
+      batch_loss(params, batch, key) -> loss   with batch keys
+        seq/pos/y/neg (B, max_len) and row_mask (B,)
+      predict_scores(params, seq, pos, seq_len) -> (B, vocab)
+    Negatives are sampled on device inside the scanned step
+    (ops/seq_sampling.sample_seq_negatives).
+    """
+
+    def __init__(self, conf, training_set, test_set, **kwargs):
+        super().__init__(conf, training_set, test_set, **kwargs)
+        self.rng = np.random.default_rng(self.seed)
+        self.key = jax.random.PRNGKey(self.seed)
+        self.params = None
+        self.opt_state = None
+        self.optimizer = None
+        self._epoch_fn = None
+        self.best_params = None
+        arrays = self.data.padded_training_arrays(self.max_len)
+        self._seq_arr, self._pos_arr, self._y_arr, self._len_arr = arrays
+
+    def init_params(self, key) -> Any:
+        raise NotImplementedError
+
+    def batch_loss(self, params, batch, key) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def make_optimizer(self):
+        return optax.adam(self.lrate)
+
+    def build(self):
+        self.key, init_key = jax.random.split(self.key)
+        self.params = self.init_params(init_key)
+        self.optimizer = self.make_optimizer()
+        self.opt_state = self.optimizer.init(self.params)
+        self._predict_jit = jax.jit(self.predict_scores)
+
+    def _make_epoch_fn(self):
+        from selfrec_tpu.ops.seq_sampling import sample_seq_negatives
+
+        optimizer = self.optimizer
+        item_num = self.data.item_num
+
+        def step(carry, batch):
+            params, opt_state, key = carry
+            key, k_neg, k_loss = jax.random.split(key, 3)
+            neg = sample_seq_negatives(k_neg, batch["seq"], item_num)
+            full = dict(batch, neg=neg)
+            loss, grads = jax.value_and_grad(self.batch_loss)(params, full, k_loss)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), loss
+
+        def epoch_fn(params, opt_state, key, seqs, poss, ys, lens, row_masks):
+            (params, opt_state, key), losses_out = jax.lax.scan(
+                step,
+                (params, opt_state, key),
+                {
+                    "seq": seqs,
+                    "pos": poss,
+                    "y": ys,
+                    "seq_len": lens,
+                    "row_mask": row_masks,
+                },
+            )
+            return params, opt_state, key, losses_out
+
+        return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+    def run_epoch(self, epoch: int) -> np.ndarray:
+        if self._epoch_fn is None:
+            self._epoch_fn = self._make_epoch_fn()
+        n = self._seq_arr.shape[0]
+        perm = self.rng.permutation(n)
+        bs = self.batch_size
+        n_batches = -(-n // bs)
+        pad = n_batches * bs - n
+        idx = np.concatenate([perm, np.zeros(pad, dtype=perm.dtype)])
+        row_mask = np.concatenate(
+            [np.ones(n, np.float32), np.zeros(pad, np.float32)]
+        )
+
+        def cut(a):
+            return jnp.asarray(a[idx].reshape(n_batches, bs, *a.shape[1:]))
+
+        self.params, self.opt_state, self.key, losses_out = self._epoch_fn(
+            self.params,
+            self.opt_state,
+            self.key,
+            cut(self._seq_arr),
+            cut(self._pos_arr),
+            cut(self._y_arr),
+            cut(self._len_arr),
+            jnp.asarray(row_mask.reshape(n_batches, bs)),
+        )
+        return np.asarray(losses_out)
+
+    def train(self):
+        for epoch in range(self.max_epoch):
+            losses_arr = self.run_epoch(epoch)
+            for b in range(0, len(losses_arr), 50):
+                print(
+                    "training:", epoch + 1, "batch", b,
+                    "rec_loss:", float(losses_arr[b]),
+                )
+            self.fast_evaluation(epoch)
+        if self.best_params is not None:
+            self.params = self.best_params
+
+    def save(self):
+        self.best_params = jax.device_get(self.params)
