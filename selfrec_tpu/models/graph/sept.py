@@ -1,0 +1,182 @@
+"""SEPT — socially-aware self-supervised tri-training.
+
+Capability parity with /root/reference/model/graph/SEPT.py (TF1 in the
+reference): three user views — rec (bipartite norm_adj), friend ((S·S)⊙S+I)
+and sharing ((Y·Yᵀ)⊙S+I), S being the reference's ``S.multiply(S)``
+bidirectional matrix (data/social.py:40-43 quirk) — encoded by a
+sum-of-l2-normalized-layers LightGCN (SEPT.py:48-64); an edge-dropout
+augmented bipartite view rebuilt once per epoch (SEPT.py:161-167); for the
+unique batch users each view predicts label distributions over the
+augmented view (softmax of cosine logits, SEPT.py:100-110), the other two
+views' averaged distributions vote top-``ins_cnt`` pseudo-positives
+(SEPT.py:112-116), and a neighbor-discrimination InfoNCE at tau=0.1 pulls
+each view toward its pseudo-positives (SEPT.py:118-134). First third of
+training optimizes the rec loss alone with its own Adam; the joint phase
+uses a FRESH Adam over rec + ss_rate*discrimination (SEPT.py:137-155).
+Rec loss = sum-BPR + reg*l2_loss(full tables) (SEPT.py:139-140).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from selfrec_tpu.data.motifs import sept_views
+from selfrec_tpu.data.social import Relation
+from selfrec_tpu.models.base import JAXGraphRecommender
+from selfrec_tpu.ops import losses
+from selfrec_tpu.ops.graph import (
+    build_norm_adj_from_mask,
+    norm_adj_from_scipy,
+    spmm,
+)
+from selfrec_tpu.ops.init import xavier_uniform
+from selfrec_tpu.ops.losses import l2_normalize
+from selfrec_tpu.ops.sampling import unique_with_mask
+
+SS_TEMP = 0.1  # hardcoded in reference SEPT.py:130-131
+
+
+class SEPT(JAXGraphRecommender):
+    eval_interval = 1
+
+    def __init__(self, conf, training_set, test_set, **kwargs):
+        super().__init__(conf, training_set, test_set, **kwargs)
+        args = conf[self.model_name] if conf.contain(self.model_name) else {}
+        self.n_layers = int(args.get("n_layer", 2))
+        self.ss_rate = float(args.get("ss_rate", 0.005))
+        self.drop_rate = float(args.get("drop_rate", 0.3))
+        self.instance_cnt = int(args.get("ins_cnt", 10))
+        self.social_data = Relation(conf, kwargs["social.data"], self.data.user)
+
+        social_view, sharing_view = sept_views(
+            self.social_data.get_birectional_social_mat(),
+            self.data.interaction_mat,
+            self.data.user_num,
+        )
+        self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
+        self.social_adj = self.shard_adj(norm_adj_from_scipy(social_view))
+        self.sharing_adj = self.shard_adj(norm_adj_from_scipy(sharing_view))
+        self._edge_users_dev = jnp.asarray(self.data.edge_users)
+        self._edge_items_dev = jnp.asarray(self.data.edge_items)
+        self._joint_phase = False
+
+    def print_model_info(self):
+        super().print_model_info()
+        print(
+            "Social data size: (user number: %d, relation number: %d)."
+            % self.social_data.size()
+        )
+        print("=" * 80)
+
+    def init_params(self, key):
+        ku, ki = jax.random.split(key)
+        return {
+            "user_emb": xavier_uniform(ku, (self.data.user_num, self.emb_size)),
+            "item_emb": xavier_uniform(ki, (self.data.item_num, self.emb_size)),
+        }
+
+    # -- encoders (sum of l2-normalized hops, SEPT.py:48-64) -----------------
+    def _encode(self, adj, emb):
+        total = emb
+        e = emb
+        for _ in range(self.n_layers):
+            e = l2_normalize(spmm(adj, e))
+            total = total + e
+        return total
+
+    def _rec_embeddings(self, params, adj=None):
+        ego = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
+        out = self._encode(self.adj if adj is None else adj, ego)
+        return out[: self.data.user_num], out[self.data.user_num :]
+
+    def compute_embeddings(self, params):
+        return self._rec_embeddings(params)
+
+    # -- phases ---------------------------------------------------------------
+    def run_epoch(self, epoch):
+        joint = epoch > self.max_epoch / 3  # reference SEPT.py:159
+        if joint != self._joint_phase:
+            self._joint_phase = joint
+            self._epoch_fn = None
+            # the joint phase uses its own fresh Adam (v2_opt, SEPT.py:150-153)
+            self.opt_state = self.optimizer.init(self.params)
+        return super().run_epoch(epoch)
+
+    def epoch_setup(self, epoch):
+        if not self._joint_phase:
+            return {}
+        n_e = self.data.n_edges
+        keep = jnp.zeros(n_e, dtype=bool).at[
+            jnp.asarray(
+                self.rng.choice(n_e, size=int(n_e * (1 - self.drop_rate)), replace=False)
+            )
+        ].set(True)
+        return {
+            "aug_adj": build_norm_adj_from_mask(
+                self._edge_users_dev,
+                self._edge_items_dev,
+                keep,
+                self.data.user_num,
+                self.data.item_num,
+            )
+        }
+
+    # -- tri-training ---------------------------------------------------------
+    def _label_prediction(self, view_emb, aug_emb, col_mask):
+        """softmax(norm(view) @ norm(aug)^T) with invalid columns masked."""
+        logits = l2_normalize(view_emb) @ l2_normalize(aug_emb).T
+        logits = jnp.where(col_mask[None, :], logits, -1e9)
+        return jax.nn.softmax(logits, axis=1)
+
+    def _neighbor_discrimination(self, pos_idx, view_emb, aug_emb, valid):
+        emb = l2_normalize(view_emb)
+        aug = l2_normalize(aug_emb)
+        pos_emb = aug[pos_idx]  # (U, k, D)
+        pos = jnp.sum(emb[:, None, :] * pos_emb, axis=2)
+        pos_score = jnp.sum(jnp.exp(pos / SS_TEMP), axis=1)
+        ttl = jnp.where(valid[None, :], jnp.exp(emb @ aug.T / SS_TEMP), 0.0)
+        ttl_score = jnp.sum(ttl, axis=1)
+        per = -jnp.log(pos_score / jnp.maximum(ttl_score, 1e-12))
+        return jnp.sum(jnp.where(valid, per, 0.0))
+
+    def batch_loss(self, params, batch, key):
+        rec_user, rec_item = self._rec_embeddings(params)
+        u = rec_user[batch["u"]]
+        p = rec_item[batch["i"]]
+        n = rec_item[batch["j"]]
+        mask = batch["mask"]
+        rec = losses.bpr_loss_sum(u, p, n, mask=mask)
+        l2 = lambda x: 0.5 * jnp.sum(x * x)
+        rec = rec + self.reg * (l2(params["user_emb"]) + l2(params["item_emb"]))
+        if not self._joint_phase:
+            return rec
+
+        aug_user, _ = self._rec_embeddings(params, adj=batch["aux"]["aug_adj"])
+        friend = self._encode(self.social_adj, params["user_emb"])
+        sharing = self._encode(self.sharing_adj, params["user_emb"])
+
+        valid_rows = mask.astype(bool)
+        uniq, uniq_mask = unique_with_mask(
+            jnp.where(valid_rows, batch["u"], -1), self.batch_size
+        )
+        aug_u = aug_user[uniq]
+        views = {
+            "friend": friend[uniq],
+            "sharing": sharing[uniq],
+            "rec": rec_user[uniq],
+        }
+        probs = {
+            k: self._label_prediction(v, aug_u, uniq_mask) for k, v in views.items()
+        }
+        top = lambda pr: jax.lax.top_k(pr, self.instance_cnt)[1]
+        f_pos = top((probs["sharing"] + probs["rec"]) / 2)
+        sh_pos = top((probs["friend"] + probs["rec"]) / 2)
+        r_pos = top((probs["friend"] + probs["sharing"]) / 2)
+
+        ss = (
+            self._neighbor_discrimination(f_pos, views["friend"], aug_u, uniq_mask)
+            + self._neighbor_discrimination(sh_pos, views["sharing"], aug_u, uniq_mask)
+            + self._neighbor_discrimination(r_pos, views["rec"], aug_u, uniq_mask)
+        )
+        return rec + self.ss_rate * ss

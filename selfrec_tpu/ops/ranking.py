@@ -50,6 +50,82 @@ def topk_scores_unmasked(scores: jnp.ndarray, k: int):
     return jax.lax.top_k(scores, k)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def topk_scores_masked(
+    scores: jnp.ndarray, mask_rows: jnp.ndarray, mask_cols: jnp.ndarray, k: int
+):
+    """Top-k over precomputed scores with rated-pair masking."""
+    scores = scores.at[mask_rows, mask_cols].set(MASK_VALUE, mode="drop")
+    return jax.lax.top_k(scores, k)
+
+
+def batched_full_rank_scores(
+    user_ids: np.ndarray,
+    score_block_fn,
+    rated_offsets: np.ndarray,
+    rated_items: np.ndarray,
+    k: int,
+    block_size: int = 1024,
+):
+    """Like :func:`batched_full_rank` but for models whose full-catalog
+    scores are not a user x item embedding dot product (e.g. KNN):
+    ``score_block_fn(uids (B,)) -> (B, n_items) scores``."""
+    n = len(user_ids)
+    n_blocks = -(-n // block_size)
+    counts = (rated_offsets[user_ids + 1] - rated_offsets[user_ids]).astype(np.int64)
+    block_nnz = [
+        int(counts[b * block_size : (b + 1) * block_size].sum()) for b in range(n_blocks)
+    ]
+    pad_nnz = max(1, max(block_nnz))
+
+    for b in range(n_blocks):
+        uids = user_ids[b * block_size : (b + 1) * block_size]
+        valid = len(uids)
+        if valid < block_size:
+            uids = np.concatenate(
+                [uids, np.full(block_size - valid, uids[-1], dtype=uids.dtype)]
+            )
+        rows_list, cols_list = [], []
+        for r, u in enumerate(uids[:valid]):
+            lo, hi = rated_offsets[u], rated_offsets[u + 1]
+            cols_list.append(rated_items[lo:hi])
+            rows_list.append(np.full(hi - lo, r, dtype=np.int32))
+        cols = np.concatenate(cols_list) if cols_list else np.zeros(0, np.int32)
+        rows = np.concatenate(rows_list) if rows_list else np.zeros(0, np.int32)
+        pad = pad_nnz - len(rows)
+        rows = np.concatenate([rows, np.full(pad, block_size, dtype=np.int32)])
+        cols = np.concatenate([cols, np.zeros(pad, dtype=np.int32)])
+
+        scores = score_block_fn(jnp.asarray(uids))
+        top_scores, top_ids = topk_scores_masked(
+            scores, jnp.asarray(rows), jnp.asarray(cols), k
+        )
+        top_scores = np.asarray(top_scores)
+        top_ids = np.asarray(top_ids)
+        for r in range(valid):
+            yield user_ids[b * block_size + r], top_ids[r], top_scores[r]
+
+
+def rec_list_from_score_fn(
+    data, score_block_fn, k: int, block_size: int = 1024
+) -> Dict[str, List[Tuple[str, float]]]:
+    rec_list: Dict[str, List[Tuple[str, float]]] = {}
+    gen = batched_full_rank_scores(
+        data.test_user_ids,
+        score_block_fn,
+        data.rated_offsets,
+        data.rated_items,
+        k,
+        block_size=block_size,
+    )
+    for uid, ids, scores in gen:
+        name = data.id2user[int(uid)]
+        rec_list[name] = [
+            (data.id2item[int(i)], float(s)) for i, s in zip(ids, scores)
+        ]
+    return rec_list
+
+
 def batched_full_rank(
     user_ids: np.ndarray,
     get_user_block,

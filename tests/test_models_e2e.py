@@ -176,6 +176,55 @@ def test_ncl_end_to_end(tiny_graph_dataset, monkeypatch):
     assert perf["Recall"] > 0.2
 
 
+def _brute_force_userknn_score(train, test, topk, shrink, user, item):
+    """Dict-based reimplementation of the reference UserKNN scoring
+    (UserKNN.py:14-80) for cross-checking the blocked-SpMM version."""
+    from collections import defaultdict
+    import heapq
+
+    users = defaultdict(dict)
+    for u, i, _ in train:
+        users[u][i] = 1.0
+    sims = []
+    for v, v_items in users.items():
+        if v == user:
+            continue
+        common = set(users[user]) & set(v_items)
+        if not common:
+            continue
+        raw = len(common) / (
+            np.sqrt(len(users[user])) * np.sqrt(len(v_items)) + 1e-8
+        )
+        s = len(common) / (len(common) + shrink) * raw
+        if s > 0:
+            sims.append((s, v))
+    score_n, score_d = 0.0, 0.0
+    for s, v in heapq.nlargest(topk, sims):
+        if item in users[v]:
+            score_n += s
+            score_d += s
+    return score_n / (score_d + 1e-8) if score_d else 0.0
+
+
+@pytest.mark.parametrize("name", ["UserKNN", "ItemKNN"])
+def test_knn_end_to_end(tiny_graph_dataset, name):
+    model, perf = run_model(name, tiny_graph_dataset, topK=10, shrinkage=2)
+    assert perf["Recall"] > 0.2
+
+
+def test_userknn_matches_reference_scoring(tiny_graph_dataset):
+    train, test = tiny_graph_dataset
+    model, _ = run_model("UserKNN", tiny_graph_dataset, topK=10, shrinkage=2)
+    import jax.numpy as jnp
+
+    uid = model.data.user["u3"]
+    scores = np.asarray(model._score_block(jnp.asarray([uid] * 2)))[0]
+    for item in ("i1", "i7", "i45"):
+        expect = _brute_force_userknn_score(train, test, 10, 2, "u3", item)
+        got = float(scores[model.data.item[item]])
+        assert abs(got - expect) < 1e-4, (item, got, expect)
+
+
 def test_mf_deterministic_with_seed(tiny_graph_dataset):
     _, perf1 = run_model("MF", tiny_graph_dataset, max_epoch=2)
     _, perf2 = run_model("MF", tiny_graph_dataset, max_epoch=2)

@@ -1,0 +1,103 @@
+"""Social module tests: Relation, motif matrices, MHCN/SEPT end-to-end."""
+
+import numpy as np
+import pytest
+
+from selfrec_tpu.config import ModelConf
+from selfrec_tpu.models import get_model_class
+from selfrec_tpu.utils import metrics
+
+
+@pytest.fixture(scope="session")
+def tiny_social_dataset(tiny_graph_dataset):
+    """Social links mostly within the user groups of tiny_graph_dataset."""
+    rng = np.random.default_rng(5)
+    train, test = tiny_graph_dataset
+    relations = []
+    for u in range(40):
+        g = u % 4
+        peers = [v for v in range(40) if v % 4 == g and v != u]
+        for v in rng.choice(peers, size=4, replace=False):
+            relations.append((f"u{u}", f"u{v}", 1.0))
+        # a couple of cross-group links
+        out = rng.choice([v for v in range(40) if v % 4 != g], size=1)
+        relations.append((f"u{u}", f"u{out[0]}", 1.0))
+    return train, test, relations
+
+
+def run_social_model(name, dataset, extra=None, **top):
+    train, test, relations = dataset
+    conf = {
+        "training.set": "<memory>",
+        "test.set": "<memory>",
+        "social.data": "<memory>",
+        "model": {"name": name, "type": "graph"},
+        "item.ranking.topN": [5, 10],
+        "embedding.size": 16,
+        "max.epoch": 6,
+        "batch.size": 64,
+        "learning.rate": 0.05,
+        "reg.lambda": 0.0001,
+        "output": "/tmp/selfrec_tpu_test_results/",
+        "seed": 42,
+    }
+    conf.update({k.replace("_", "."): v for k, v in top.items()})
+    if extra:
+        conf[name] = extra
+    conf = ModelConf(conf)
+    cls = get_model_class(name)
+    model = cls(conf, train, test, **{"social.data": relations})
+    model.build()
+    model.train()
+    rec_list = model.test()
+    measure = metrics.ranking_evaluation(model.data.test_set, rec_list, [10])
+    return model, metrics.parse_measure(measure)
+
+
+def test_relation_and_motifs(tiny_social_dataset):
+    from selfrec_tpu.data.interaction import Interaction
+    from selfrec_tpu.data.motifs import mhcn_hypergraphs, sept_views
+    from selfrec_tpu.data.social import Relation
+
+    train, test, relations = tiny_social_dataset
+    data = Interaction(None, train, test)
+    rel = Relation(None, relations, data.user)
+    assert rel.size()[1] == len(relations)
+    S = rel.get_social_mat()
+    assert S.shape == (40, 40)
+
+    H_s, H_j, H_p = mhcn_hypergraphs(S, data.interaction_mat)
+    for H in (H_s, H_j, H_p):
+        rs = np.asarray(H.sum(axis=1)).ravel()
+        nz = rs[rs > 0]
+        np.testing.assert_allclose(nz, 1.0, atol=1e-5)  # row-normalized
+
+    social_v, sharing_v = sept_views(
+        rel.get_birectional_social_mat(), data.interaction_mat, data.user_num
+    )
+    assert social_v.shape == (40, 40)
+    # the identity was added before normalization -> every diagonal present
+    assert (social_v.diagonal() > 0).all()
+    # D^-1/2 A D^-1/2 of a 0/1-ish matrix keeps entries in (0, 1]
+    assert social_v.data.max() <= 1.0 + 1e-6
+
+
+def test_mhcn_end_to_end(tiny_social_dataset):
+    model, perf = run_social_model(
+        "MHCN",
+        tiny_social_dataset,
+        extra={"n_layer": 2, "ss_rate": 0.01},
+        learning_rate=0.02,
+    )
+    assert perf["Recall"] > 0.2
+
+
+def test_sept_end_to_end(tiny_social_dataset):
+    model, perf = run_social_model(
+        "SEPT",
+        tiny_social_dataset,
+        extra={"n_layer": 2, "ss_rate": 0.005, "drop_rate": 0.3, "ins_cnt": 5},
+        max_epoch=9,  # crosses the 1/3 boundary into the joint phase
+    )
+    assert model._joint_phase  # tri-training ran
+    assert perf["Recall"] > 0.2
