@@ -296,15 +296,18 @@ class JAXGraphRecommender(GraphRecommender):
         return built
 
     def shard_adj(self, adj):
-        """Place a NormAdj's edge arrays over the data axis (sharded partial
-        segment-sums; GSPMD adds the psum). No-op on a single device."""
+        """Place an adjacency's arrays (NormAdj edge lists or EllAdj virtual
+        rows) over the data axis — sharded partial segment-sums; GSPMD adds
+        the psum. No-op on a single device."""
         if self.mesh is None:
             return adj
-        es = mesh_lib.edge_sharding(self.mesh)
-        adj.src = jax.device_put(adj.src, es)
-        adj.dst = jax.device_put(adj.dst, es)
-        adj.w = jax.device_put(adj.w, es)
-        return adj
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def place(a):
+            spec = P(mesh_lib.DATA_AXIS, *([None] * (a.ndim - 1)))
+            return jax.device_put(a, NamedSharding(self.mesh, spec))
+
+        return jax.tree_util.tree_map(place, adj)
 
     # -- machinery ------------------------------------------------------------
     def build(self):

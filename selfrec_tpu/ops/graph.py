@@ -52,8 +52,17 @@ class NormAdj:
         return f"NormAdj(E={self.src.shape[0]}, n_nodes={self.n_nodes})"
 
 
-def spmm(adj: NormAdj, x: jnp.ndarray) -> jnp.ndarray:
-    """Sparse (adjacency) @ dense (embeddings) via gather + segment-sum."""
+def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
+    """Sparse (adjacency) @ dense (embeddings).
+
+    Dispatches on layout: EllAdj takes the gather-only row-split fast path
+    (ops/spmm_ell.py — the TPU hot path); NormAdj falls back to gather +
+    segment-sum (still used for dynamically re-normalized views and by the
+    KNN co-occurrence blocks)."""
+    from selfrec_tpu.ops.spmm_ell import EllAdj, ell_spmm
+
+    if isinstance(adj, EllAdj):
+        return ell_spmm(adj, x)
     contrib = x[adj.src] * adj.w[:, None]
     return jax.ops.segment_sum(
         contrib, adj.dst, num_segments=adj.n_nodes,
@@ -166,24 +175,50 @@ def build_norm_adj_square_from_mask(
     return NormAdj(cols, rows, w, n)
 
 
-def adj_dropout(adj: NormAdj, key: jax.Array, rate) -> NormAdj:
+def adj_dropout(adj, key: jax.Array, rate):
     """Per-step sparse dropout of adjacency entries: keep each edge with
     probability 1-rate, scale kept weights by 1/(1-rate). Matches the
     reference's ``sparse_dropout`` (BUIR.py:118-127, MixGCF.py:86-96) which
     rescales but does NOT re-normalize degrees. ``rate`` may be a traced
     scalar (BUIR draws rate = U[0,1) * drop_ratio per forward, BUIR.py:135).
-    Static shapes: dropped edges keep their slot with weight 0.
+    Static shapes: dropped edges keep their slot with weight 0. EllAdj drops
+    per ORIGINAL edge and reweights both directions consistently.
     """
+    from selfrec_tpu.ops.spmm_ell import EllAdj
+
+    if isinstance(adj, EllAdj):
+        keep = jax.random.uniform(key, adj.edge_w.shape) >= rate
+        return adj.reweight(jnp.where(keep, adj.edge_w / (1.0 - rate), 0.0))
     keep = jax.random.uniform(key, adj.w.shape) >= rate
     w = jnp.where(keep, adj.w / (1.0 - rate), 0.0)
     return NormAdj(adj.src, adj.dst, w, adj.n_nodes, adj.sorted_by_dst)
 
 
-def norm_adj_from_scipy(norm_adj) -> NormAdj:
-    """Device NormAdj from a host scipy normalized matrix (one-time setup)."""
+def norm_adj_from_scipy(norm_adj, ell: Optional[bool] = None, k: int = 32):
+    """Device adjacency from a host scipy normalized matrix (one-time setup).
+
+    Returns the row-split EllAdj fast path by default (set env
+    ``SELFREC_TPU_ELL=0`` or pass ell=False for the edge-list NormAdj).
+    Handles rectangular matrices (rows = destinations).
+    """
+    import os
+
     import numpy as np
 
+    if ell is None:
+        ell = os.environ.get("SELFREC_TPU_ELL", "1") != "0"
     coo = norm_adj.tocoo()
+    if ell:
+        from selfrec_tpu.ops.spmm_ell import ell_adj_from_edges
+
+        return ell_adj_from_edges(
+            coo.col.astype(np.int32),
+            coo.row.astype(np.int32),
+            coo.data.astype(np.float32),
+            n_rows=norm_adj.shape[0],
+            n_cols=norm_adj.shape[1],
+            k=k,
+        )
     order = np.argsort(coo.row, kind="stable")
     return NormAdj(
         jnp.asarray(coo.col[order].astype(np.int32)),

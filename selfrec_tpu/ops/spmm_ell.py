@@ -1,0 +1,190 @@
+"""Row-split ELL SpMM — the TPU fast path for graph propagation.
+
+Why: XLA lowers the naive edge-list formulation (gather + E-length
+scatter-add, ops/graph.spmm) to a serialized scatter over ~3M edges — the
+dominant cost of every GNN step (the reference's cuSPARSE spmm at
+LightGCN.py:72 etc. has no TPU analog). This module reformulates SpMM so no
+large scatter ever happens:
+
+- **Row splitting**: destinations' neighbor lists (CSR sorted by dst) are cut
+  into virtual rows of at most K source slots, padded to exactly K
+  (pad slot -> source 0 with weight 0). A power-law degree distribution
+  yields V ≈ nnz/K + n_rows virtual rows with bounded waste.
+- **Forward**: partial[v] = Σ_k w[v,k] * x[vidx[v,k]] — a dense gather plus
+  an einsum the VPU/MXU eats — followed by a segment-sum over the SORTED
+  virtual-row→row map (length V, ≈20x shorter than the edge list, few
+  repeats per segment).
+- **Backward**: the adjoint of A@x is Aᵀ@g, so the custom VJP runs the SAME
+  gather-based kernel with the precomputed transpose layout. The
+  scatter-add that autodiff would generate for the gather never appears.
+
+Weights are a separate input so per-step/per-epoch reweighted adjacencies
+(edge dropout: SGL.py:28-29, BUIR.py:118-127, SEPT.py:161-167) reuse the
+static layout: ``edge_slots`` maps original edge order -> flat ELL slot, so
+new weights are one scatter of E scalars (cheap), not a layout rebuild.
+Weight cotangents are zero: adjacency weights are graph constants, never
+functions of trainable parameters.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class EllLayout(NamedTuple):
+    """Static gather layout for one propagation direction."""
+
+    vidx: jnp.ndarray  # (V, K) int32 source ids, pad -> 0
+    vdst: jnp.ndarray  # (V,) int32 destination row per virtual row, sorted
+    n_rows: int
+    edge_slots: jnp.ndarray  # (E,) flat position of edge e in vidx/w
+
+
+def build_ell_layout(
+    src: np.ndarray, dst: np.ndarray, n_rows: int, k: int = 32
+) -> Tuple[EllLayout, np.ndarray]:
+    """Host-side one-time layout build. Returns (layout, slot_order) where
+    ``slot_order`` is unused internally but handy for tests.
+
+    Edges need not be pre-sorted; a stable sort by dst defines slot order.
+    """
+    e = len(src)
+    order = np.argsort(dst, kind="stable")
+    s_src = np.asarray(src)[order].astype(np.int64)
+    s_dst = np.asarray(dst)[order].astype(np.int64)
+    # position of each edge within its destination's run
+    counts = np.bincount(s_dst, minlength=n_rows)
+    run_starts = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=run_starts[1:])
+    within = np.arange(e, dtype=np.int64) - run_starts[s_dst]
+    # virtual row index: first virtual row of each dst + within // k
+    vrows_per_dst = -(-counts // k)  # ceil
+    first_vrow = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(vrows_per_dst, out=first_vrow[1:])
+    v = int(first_vrow[-1])
+    vrow = first_vrow[s_dst] + within // k
+    slot = within % k
+    flat = vrow * k + slot
+
+    vidx = np.zeros(v * k, dtype=np.int32)
+    vidx[flat] = s_src.astype(np.int32)
+    vdst = np.zeros(v, dtype=np.int32)
+    # every dst with count>0 owns vrows [first_vrow[d], first_vrow[d+1])
+    nz = np.nonzero(vrows_per_dst)[0]
+    vdst_np = np.repeat(nz.astype(np.int32), vrows_per_dst[nz])
+    vdst[: len(vdst_np)] = vdst_np
+
+    edge_slots = np.empty(e, dtype=np.int32)
+    edge_slots[order] = flat.astype(np.int32)
+
+    layout = EllLayout(
+        vidx=jnp.asarray(vidx.reshape(v, k)),
+        vdst=jnp.asarray(vdst),
+        n_rows=n_rows,
+        edge_slots=jnp.asarray(edge_slots),
+    )
+    return layout, order
+
+
+def ell_weights(layout: EllLayout, edge_w: jnp.ndarray) -> jnp.ndarray:
+    """(V, K) weight matrix from per-edge weights in ORIGINAL edge order."""
+    v, k = layout.vidx.shape
+    flat = jnp.zeros(v * k, dtype=edge_w.dtype).at[layout.edge_slots].set(edge_w)
+    return flat.reshape(v, k)
+
+
+def _ell_apply(layout: EllLayout, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    v, k = layout.vidx.shape
+    g = x[layout.vidx.reshape(-1)].reshape(v, k, x.shape[-1])
+    partial = jnp.einsum("vk,vkd->vd", w, g)
+    return jax.ops.segment_sum(
+        partial, layout.vdst, num_segments=layout.n_rows, indices_are_sorted=True
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+class EllAdj:
+    """Bidirectional ELL adjacency: forward layout + transpose layout with
+    their weight matrices, plus the per-edge weights in original edge order
+    (for reweighting/dropout). Drop-in for ops.graph.spmm via ell_spmm."""
+
+    def __init__(self, fwd: EllLayout, w_fwd, bwd: EllLayout, w_bwd, edge_w):
+        self.fwd = fwd
+        self.w_fwd = w_fwd
+        self.bwd = bwd
+        self.w_bwd = w_bwd
+        self.edge_w = edge_w
+
+    def tree_flatten(self):
+        return (
+            (self.fwd.vidx, self.fwd.vdst, self.fwd.edge_slots, self.w_fwd,
+             self.bwd.vidx, self.bwd.vdst, self.bwd.edge_slots, self.w_bwd,
+             self.edge_w),
+            (self.fwd.n_rows, self.bwd.n_rows),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (fvi, fvd, fes, fw, bvi, bvd, bes, bw, ew) = children
+        return cls(
+            EllLayout(fvi, fvd, aux[0], fes), fw,
+            EllLayout(bvi, bvd, aux[1], bes), bw, ew,
+        )
+
+    def reweight(self, edge_w: jnp.ndarray) -> "EllAdj":
+        """New EllAdj with per-edge weights replaced (original edge order);
+        static layouts reused — this is how per-epoch/per-step dropped
+        adjacencies stay on the fast path."""
+        return EllAdj(
+            self.fwd, ell_weights(self.fwd, edge_w),
+            self.bwd, ell_weights(self.bwd, edge_w), edge_w,
+        )
+
+    def __repr__(self):
+        return (
+            f"EllAdj(V={self.fwd.vidx.shape[0]}, K={self.fwd.vidx.shape[1]},"
+            f" n_rows={self.fwd.n_rows})"
+        )
+
+
+def ell_adj_from_edges(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray, n_rows: int,
+    n_cols: int = None, k: int = 32,
+) -> EllAdj:
+    """Build both directions from an edge list (host, one-time). For a square
+    adjacency n_cols defaults to n_rows."""
+    n_cols = n_rows if n_cols is None else n_cols
+    fwd, _ = build_ell_layout(np.asarray(src), np.asarray(dst), n_rows, k)
+    bwd, _ = build_ell_layout(np.asarray(dst), np.asarray(src), n_cols, k)
+    w = jnp.asarray(np.asarray(w, dtype=np.float32))
+    return EllAdj(fwd, ell_weights(fwd, w), bwd, ell_weights(bwd, w), w)
+
+
+@jax.custom_vjp
+def ell_spmm(adj: EllAdj, x: jnp.ndarray) -> jnp.ndarray:
+    """out[d] = Σ_{e: dst[e]=d} w[e] * x[src[e]] with gather-only autodiff."""
+    return _ell_apply(adj.fwd, adj.w_fwd, x)
+
+
+def _ell_spmm_fwd(adj, x):
+    return _ell_apply(adj.fwd, adj.w_fwd, x), adj
+
+
+def _ell_spmm_bwd(adj, g):
+    dx = _ell_apply(adj.bwd, adj.w_bwd, g)
+    # adjacency cotangents: float0 for int leaves (JAX convention), zeros for
+    # the weight leaves — weights are graph constants, see module docstring.
+    zero_adj = jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        if jnp.issubdtype(a.dtype, jnp.integer)
+        else jnp.zeros_like(a),
+        adj,
+    )
+    return zero_adj, dx
+
+
+ell_spmm.defvjp(_ell_spmm_fwd, _ell_spmm_bwd)

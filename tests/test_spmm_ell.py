@@ -1,0 +1,119 @@
+"""Row-split ELL SpMM correctness: forward vs scipy, gradients vs the
+segment-sum formulation, reweighting, model integration."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from selfrec_tpu.ops import graph as g_ops
+from selfrec_tpu.ops.spmm_ell import EllAdj, ell_adj_from_edges
+
+
+def random_graph(n_rows, n_cols, nnz, seed=0, power_law=True):
+    rng = np.random.default_rng(seed)
+    if power_law:
+        p = 1.0 / np.arange(1, n_rows + 1)
+        p /= p.sum()
+        rows = rng.choice(n_rows, size=nnz, p=p)
+    else:
+        rows = rng.integers(0, n_rows, nnz)
+    cols = rng.integers(0, n_cols, nnz)
+    key = rows.astype(np.int64) * n_cols + cols
+    _, idx = np.unique(key, return_index=True)
+    rows, cols = rows[idx], cols[idx]
+    w = rng.random(len(rows)).astype(np.float32)
+    return rows.astype(np.int32), cols.astype(np.int32), w
+
+
+@pytest.mark.parametrize("k", [4, 32])
+@pytest.mark.parametrize("shape", [(200, 200), (150, 80)])
+def test_ell_matches_scipy(k, shape):
+    n_rows, n_cols = shape
+    rows, cols, w = random_graph(n_rows, n_cols, 3000)
+    mat = sp.csr_matrix((w, (rows, cols)), shape=shape)
+    x = np.random.default_rng(1).standard_normal((n_cols, 16)).astype(np.float32)
+
+    adj = ell_adj_from_edges(cols, rows, w, n_rows=n_rows, n_cols=n_cols, k=k)
+    out = np.asarray(g_ops.spmm(adj, jnp.asarray(x)))
+    np.testing.assert_allclose(out, mat @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_ell_gradients_match_segment_sum():
+    n = 120
+    rows, cols, w = random_graph(n, n, 1500)
+    adj_ell = ell_adj_from_edges(cols, rows, w, n_rows=n, k=8)
+    adj_ref = g_ops.NormAdj(
+        jnp.asarray(cols), jnp.asarray(rows), jnp.asarray(w), n
+    )
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((n, 8)).astype(np.float32)
+    )
+    t = jnp.asarray(
+        np.random.default_rng(3).standard_normal((n, 8)).astype(np.float32)
+    )
+
+    def loss_ell(x):
+        return jnp.sum(g_ops.spmm(adj_ell, x) * t)
+
+    def loss_ref(x):
+        return jnp.sum(g_ops.spmm(adj_ref, x) * t)
+
+    np.testing.assert_allclose(loss_ell(x), loss_ref(x), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_ell)(x)),
+        np.asarray(jax.grad(loss_ref)(x)),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_ell_reweight_and_dropout():
+    n = 100
+    rows, cols, w = random_graph(n, n, 1200)
+    adj = ell_adj_from_edges(cols, rows, w, n_rows=n, k=8)
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((n, 4)).astype(np.float32)
+    )
+    # reweight with doubled weights == 2x output
+    out1 = np.asarray(g_ops.spmm(adj, x))
+    out2 = np.asarray(g_ops.spmm(adj.reweight(jnp.asarray(2 * w)), x))
+    np.testing.assert_allclose(out2, 2 * out1, rtol=1e-5)
+
+    # dropout at rate ~0 is identity; at rate r the expectation is preserved
+    dropped = g_ops.adj_dropout(adj, jax.random.PRNGKey(0), 1e-9)
+    np.testing.assert_allclose(
+        np.asarray(g_ops.spmm(dropped, x)), out1, rtol=1e-4, atol=1e-5
+    )
+    r = 0.5
+    outs = []
+    for s in range(30):
+        d = g_ops.adj_dropout(adj, jax.random.PRNGKey(s), r)
+        outs.append(np.asarray(g_ops.spmm(d, x)))
+    mean_out = np.mean(outs, axis=0)
+    np.testing.assert_allclose(
+        mean_out, out1, atol=0.25 * np.abs(out1).max() + 0.05
+    )
+
+
+def test_norm_adj_from_scipy_ell_default(tiny_graph_dataset):
+    from selfrec_tpu.data.interaction import Interaction
+
+    train, test = tiny_graph_dataset
+    data = Interaction(None, train, test)
+    adj = g_ops.norm_adj_from_scipy(data.norm_adj)
+    assert isinstance(adj, EllAdj)
+    adj_ref = g_ops.norm_adj_from_scipy(data.norm_adj, ell=False)
+    x = jnp.asarray(
+        np.random.default_rng(5)
+        .standard_normal((data.user_num + data.item_num, 8))
+        .astype(np.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_ops.spmm(adj, x)),
+        np.asarray(g_ops.spmm(adj_ref, x)),
+        rtol=1e-4,
+        atol=1e-5,
+    )
