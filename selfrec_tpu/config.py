@@ -95,12 +95,18 @@ class ModelConf:
             self.config[dotted_key] = value
             return
         parts = dotted_key.split(".")
-        node = self.config
-        for part in parts[:-1]:
-            if not isinstance(node.get(part), dict):
-                node[part] = {}
-            node = node[part]
-        node[parts[-1]] = value
+        # descend only into EXISTING nested mappings (model sections like
+        # ``SimGCL.lambda``); otherwise the reference schema treats dotted
+        # names as literal top-level keys (``checkpoint.dir``, ``max.len``).
+        if len(parts) > 1 and isinstance(self.config.get(parts[0]), dict):
+            node = self.config
+            for part in parts[:-1]:
+                if not isinstance(node.get(part), dict):
+                    node[part] = {}
+                node = node[part]
+            node[parts[-1]] = value
+        else:
+            self.config[dotted_key] = value
 
     def model_args(self) -> Dict[str, Any]:
         """The per-model nested section, e.g. config['SimGCL']."""

@@ -301,13 +301,10 @@ class JAXGraphRecommender(GraphRecommender):
         the psum. No-op on a single device."""
         if self.mesh is None:
             return adj
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        def place(a):
-            spec = P(mesh_lib.DATA_AXIS, *([None] * (a.ndim - 1)))
-            return jax.device_put(a, NamedSharding(self.mesh, spec))
-
-        return jax.tree_util.tree_map(place, adj)
+        return jax.tree_util.tree_map(
+            lambda a: mesh_lib.place_first_dim(a, self.mesh, mesh_lib.DATA_AXIS),
+            adj,
+        )
 
     # -- machinery ------------------------------------------------------------
     def build(self):
@@ -364,11 +361,20 @@ class JAXGraphRecommender(GraphRecommender):
 
         return jax.jit(epoch_fn, donate_argnums=(0, 1))
 
+    def epoch_rng(self, epoch: int, stream: int = 0) -> np.random.Generator:
+        """Host RNG as a pure function of (seed, epoch, stream): epoch
+        shuffles and per-epoch view draws are identical whether a run is
+        continuous or resumed from a checkpoint, and across hosts."""
+        return np.random.default_rng((self.seed, epoch, stream))
+
     def run_epoch(self, epoch: int) -> np.ndarray:
         if self._epoch_fn is None:
             self._epoch_fn = self._make_epoch_fn()
         users, items, masks = sampling.epoch_pairwise_batches(
-            self.rng, self.data.edge_users, self.data.edge_items, self.batch_size
+            self.epoch_rng(epoch),
+            self.data.edge_users,
+            self.data.edge_items,
+            self.batch_size,
         )
         aux = self.epoch_setup(epoch)
         users, items, masks = (jnp.asarray(users), jnp.asarray(items), jnp.asarray(masks))
@@ -388,15 +394,63 @@ class JAXGraphRecommender(GraphRecommender):
         )
         return np.asarray(losses)
 
+    def _checkpoint_conf(self):
+        ckpt_dir = self.config.get("checkpoint.dir")
+        interval = int(self.config.get("checkpoint.interval", 5))
+        return ckpt_dir, interval
+
+    def _maybe_resume(self) -> int:
+        from selfrec_tpu.utils import checkpoint as ckpt
+
+        ckpt_dir, _ = self._checkpoint_conf()
+        if not ckpt_dir:
+            return 0
+        step, state = ckpt.restore_checkpoint(ckpt_dir, ckpt.train_state(self))
+        if step is None:
+            return 0
+        ckpt.apply_train_state(self, state)
+        print(f"Resumed from checkpoint step {step} in {ckpt_dir}")
+        return step
+
+    def _maybe_checkpoint(self, epoch: int):
+        from selfrec_tpu.utils import checkpoint as ckpt
+
+        ckpt_dir, interval = self._checkpoint_conf()
+        if ckpt_dir and (epoch + 1) % interval == 0:
+            ckpt.save_checkpoint(ckpt_dir, epoch + 1, ckpt.train_state(self))
+
+    def _profiler_hook(self, epoch: int):
+        """jax.profiler trace of one steady-state epoch (SURVEY.md §5
+        tracing row — absent in the reference). Config: ``profile.dir``;
+        epoch 1 is traced (epoch 0 includes compilation)."""
+        profile_dir = self.config.get("profile.dir")
+        if not profile_dir:
+            return
+        if epoch == 1:
+            jax.profiler.start_trace(profile_dir)
+        elif epoch == 2:
+            jax.profiler.stop_trace()
+            print(f"Profiler trace for epoch 2 written to {profile_dir}")
+
     def train(self):
-        for epoch in range(self.max_epoch):
+        start_epoch = self._maybe_resume()
+        n_examples = self.data.n_edges
+        for epoch in range(start_epoch, self.max_epoch):
+            self._profiler_hook(epoch)
+            t0 = time()
             losses = self.run_epoch(epoch)
+            jax.block_until_ready(self.params)
+            dt = time() - t0
             for n in range(0, len(losses), self.log_batch_interval):
                 if n > 0:
                     print("training:", epoch + 1, "batch", n, "batch_loss:", float(losses[n]))
+            print(
+                f"epoch {epoch + 1}: {dt:.2f}s, {n_examples / max(dt, 1e-9):,.0f} examples/s"
+            )
             self.user_emb, self.item_emb = self._compute_emb_jit(self.params)
             if (epoch + 1) % self.eval_interval == 0 or epoch == self.max_epoch - 1:
                 self.fast_evaluation(epoch)
+            self._maybe_checkpoint(epoch)
         if self.best_user_emb is not None:
             self.user_emb, self.item_emb = self.best_user_emb, self.best_item_emb
 
@@ -541,11 +595,13 @@ class JAXSequentialRecommender(SequentialRecommender):
 
         return jax.jit(epoch_fn, donate_argnums=(0, 1))
 
+    epoch_rng = JAXGraphRecommender.epoch_rng
+
     def run_epoch(self, epoch: int) -> np.ndarray:
         if self._epoch_fn is None:
             self._epoch_fn = self._make_epoch_fn()
         n = self._seq_arr.shape[0]
-        perm = self.rng.permutation(n)
+        perm = self.epoch_rng(epoch).permutation(n)
         bs = self.batch_size
         n_batches = -(-n // bs)
         pad = n_batches * bs - n
@@ -569,8 +625,13 @@ class JAXSequentialRecommender(SequentialRecommender):
         )
         return np.asarray(losses_out)
 
+    _checkpoint_conf = JAXGraphRecommender._checkpoint_conf
+    _maybe_resume = JAXGraphRecommender._maybe_resume
+    _maybe_checkpoint = JAXGraphRecommender._maybe_checkpoint
+
     def train(self):
-        for epoch in range(self.max_epoch):
+        start_epoch = self._maybe_resume()
+        for epoch in range(start_epoch, self.max_epoch):
             losses_arr = self.run_epoch(epoch)
             for b in range(0, len(losses_arr), 50):
                 print(
@@ -578,6 +639,7 @@ class JAXSequentialRecommender(SequentialRecommender):
                     "rec_loss:", float(losses_arr[b]),
                 )
             self.fast_evaluation(epoch)
+            self._maybe_checkpoint(epoch)
         if self.best_params is not None:
             self.params = self.best_params
 

@@ -26,7 +26,8 @@ from selfrec_tpu.data.social import Relation
 from selfrec_tpu.models.base import JAXGraphRecommender
 from selfrec_tpu.ops import losses
 from selfrec_tpu.ops.graph import (
-    build_norm_adj_from_mask,
+    bipartite_renorm_weights,
+    build_bipartite_ell_template,
     norm_adj_from_scipy,
     spmm,
 )
@@ -59,6 +60,14 @@ class SEPT(JAXGraphRecommender):
         self.sharing_adj = self.shard_adj(norm_adj_from_scipy(sharing_view))
         self._edge_users_dev = jnp.asarray(self.data.edge_users)
         self._edge_items_dev = jnp.asarray(self.data.edge_items)
+        self._view_template = self.shard_adj(
+            build_bipartite_ell_template(
+                self.data.edge_users,
+                self.data.edge_items,
+                self.data.user_num,
+                self.data.item_num,
+            )
+        )
         self._joint_phase = False
 
     def print_model_info(self):
@@ -109,18 +118,19 @@ class SEPT(JAXGraphRecommender):
         n_e = self.data.n_edges
         keep = jnp.zeros(n_e, dtype=bool).at[
             jnp.asarray(
-                self.rng.choice(n_e, size=int(n_e * (1 - self.drop_rate)), replace=False)
+                self.epoch_rng(epoch, stream=1).choice(
+                    n_e, size=int(n_e * (1 - self.drop_rate)), replace=False
+                )
             )
         ].set(True)
-        return {
-            "aug_adj": build_norm_adj_from_mask(
-                self._edge_users_dev,
-                self._edge_items_dev,
-                keep,
-                self.data.user_num,
-                self.data.item_num,
-            )
-        }
+        w = bipartite_renorm_weights(
+            self._edge_users_dev,
+            self._edge_items_dev,
+            keep,
+            self.data.user_num,
+            self.data.item_num,
+        )
+        return {"aug_adj": self._view_template.reweight(w)}
 
     # -- tri-training ---------------------------------------------------------
     def _label_prediction(self, view_emb, aug_emb, col_mask):

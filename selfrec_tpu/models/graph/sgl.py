@@ -27,7 +27,8 @@ import numpy as np
 from selfrec_tpu.models.base import JAXGraphRecommender
 from selfrec_tpu.ops import losses
 from selfrec_tpu.ops.graph import (
-    build_norm_adj_from_mask,
+    bipartite_renorm_weights,
+    build_bipartite_ell_template,
     lightgcn_propagate,
     norm_adj_from_scipy,
 )
@@ -47,6 +48,15 @@ class SGL(JAXGraphRecommender):
         self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
         self._edge_users_dev = jnp.asarray(self.data.edge_users)
         self._edge_items_dev = jnp.asarray(self.data.edge_items)
+        # static ELL layout shared by every dropped view (weights swap per epoch)
+        self._view_template = self.shard_adj(
+            build_bipartite_ell_template(
+                self.data.edge_users,
+                self.data.edge_items,
+                self.data.user_num,
+                self.data.item_num,
+            )
+        )
 
     def init_params(self, key):
         ku, ki = jax.random.split(key)
@@ -65,37 +75,39 @@ class SGL(JAXGraphRecommender):
         return out[: self.data.user_num], out[self.data.user_num :]
 
     # -- per-epoch dropped views --------------------------------------------
-    def _edge_keep_mask(self) -> np.ndarray:
+    def _edge_keep_mask(self, rng) -> np.ndarray:
         """Kept-edge indicator with the reference augmentor's exact counts."""
         n_e = self.data.n_edges
         keep = np.zeros(n_e, dtype=bool)
         if self.aug_type == 0:
             n_u, n_i = self.data.user_num, self.data.item_num
-            drop_u = self.rng.choice(n_u, size=int(n_u * self.drop_rate), replace=False)
-            drop_i = self.rng.choice(n_i, size=int(n_i * self.drop_rate), replace=False)
+            drop_u = rng.choice(n_u, size=int(n_u * self.drop_rate), replace=False)
+            drop_i = rng.choice(n_i, size=int(n_i * self.drop_rate), replace=False)
             keep_u = np.ones(n_u, dtype=bool)
             keep_i = np.ones(n_i, dtype=bool)
             keep_u[drop_u] = False
             keep_i[drop_i] = False
             keep = keep_u[self.data.edge_users] & keep_i[self.data.edge_items]
         else:
-            kept = self.rng.choice(
+            kept = rng.choice(
                 n_e, size=int(n_e * (1 - self.drop_rate)), replace=False
             )
             keep[kept] = True
         return keep
 
-    def _dropped_adj(self):
-        return build_norm_adj_from_mask(
+    def _dropped_adj(self, rng):
+        w = bipartite_renorm_weights(
             self._edge_users_dev,
             self._edge_items_dev,
-            jnp.asarray(self._edge_keep_mask()),
+            jnp.asarray(self._edge_keep_mask(rng)),
             self.data.user_num,
             self.data.item_num,
         )
+        return self._view_template.reweight(w)
 
     def epoch_setup(self, epoch):
-        return {"adj1": self._dropped_adj(), "adj2": self._dropped_adj()}
+        rng = self.epoch_rng(epoch, stream=1)
+        return {"adj1": self._dropped_adj(rng), "adj2": self._dropped_adj(rng)}
 
     # -- loss ----------------------------------------------------------------
     def cl_loss(self, params, batch, aux):

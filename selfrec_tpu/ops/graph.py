@@ -130,6 +130,44 @@ def perturbed_propagate(
     return out
 
 
+def bipartite_renorm_weights(
+    edge_users: jnp.ndarray,
+    edge_items: jnp.ndarray,
+    keep: jnp.ndarray,
+    n_users: int,
+    n_items: int,
+) -> jnp.ndarray:
+    """(2E,) symmetric-normalized weights over kept edges, ordered
+    [u→i edges ; i→u edges] — matching the src/dst concatenation of
+    :func:`build_norm_adj_from_mask`. Feed to an EllAdj template built from
+    the same ordering (see :func:`build_bipartite_ell_template`) to keep
+    per-epoch dropped views (SGL, SEPT) on the gather-only fast path."""
+    w_e = keep.astype(jnp.float32)
+    du = jax.ops.segment_sum(w_e, edge_users, num_segments=n_users)
+    di = jax.ops.segment_sum(w_e, edge_items, num_segments=n_items)
+    inv_sqrt_du = jnp.where(du > 0, jax.lax.rsqrt(jnp.maximum(du, 1e-12)), 0.0)
+    inv_sqrt_di = jnp.where(di > 0, jax.lax.rsqrt(jnp.maximum(di, 1e-12)), 0.0)
+    w = w_e * inv_sqrt_du[edge_users] * inv_sqrt_di[edge_items]
+    return jnp.concatenate([w, w])
+
+
+def build_bipartite_ell_template(
+    edge_users, edge_items, n_users: int, n_items: int, k: int = 32
+):
+    """Static EllAdj over the symmetric bipartite edge list (host, one-time);
+    reweight per epoch/step with :func:`bipartite_renorm_weights`."""
+    import numpy as np
+
+    from selfrec_tpu.ops.spmm_ell import ell_adj_from_edges
+
+    eu = np.asarray(edge_users)
+    ei = np.asarray(edge_items)
+    src = np.concatenate([eu, ei + n_users])
+    dst = np.concatenate([ei + n_users, eu])
+    w = np.ones(2 * len(eu), dtype=np.float32)
+    return ell_adj_from_edges(src, dst, w, n_rows=n_users + n_items, k=k)
+
+
 def build_norm_adj_from_mask(
     edge_users: jnp.ndarray,
     edge_items: jnp.ndarray,

@@ -80,16 +80,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def axis_size(mesh: Mesh, axis: str) -> int:
+    return mesh.shape[axis]
+
+
+def place_first_dim(x, mesh: Mesh, axis: str):
+    """device_put with the first dim sharded over ``axis`` when divisible;
+    replicated otherwise (explicit device_put — unlike GSPMD propagation
+    inside jit — requires evenly divisible global shapes)."""
+    n = axis_size(mesh, axis)
+    if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n == 0:
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
 def shard_params(params, mesh: Mesh):
     """Place a params pytree on the mesh: 2D (rows, emb) leaves row-sharded
-    over ``model`` (padding rows up to a multiple of the axis is NOT needed —
-    GSPMD handles ragged shards), everything else replicated."""
-    ts = table_sharding(mesh)
-    rep = replicated(mesh)
+    over ``model`` when rows divide evenly, everything else replicated."""
 
     def place(x):
         if hasattr(x, "ndim") and x.ndim == 2:
-            return jax.device_put(x, ts)
-        return jax.device_put(x, rep)
+            return place_first_dim(x, mesh, MODEL_AXIS)
+        return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(place, params)

@@ -1,0 +1,87 @@
+"""Multi-device invariants on the 8-device virtual CPU mesh (SURVEY.md §4):
+sharded computation must equal the single-device computation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from selfrec_tpu.config import ModelConf
+from selfrec_tpu.models import get_model_class
+from selfrec_tpu.parallel import mesh as mesh_lib
+
+
+def make_conf(mesh=None, **kw):
+    conf = {
+        "training.set": "<memory>",
+        "test.set": "<memory>",
+        "model": {"name": "SimGCL", "type": "graph"},
+        "item.ranking.topN": [5, 10],
+        "embedding.size": 16,
+        "max.epoch": 2,
+        "batch.size": 64,
+        "learning.rate": 0.05,
+        "reg.lambda": 0.0001,
+        "SimGCL": {"n_layer": 2, "lambda": 0.5, "eps": 0.1},
+        "output": "/tmp/selfrec_tpu_test_results/",
+        "seed": 42,
+    }
+    if mesh:
+        conf["mesh"] = mesh
+    conf.update(kw)
+    return ModelConf(conf)
+
+
+def test_mesh_shapes():
+    m = mesh_lib.build_mesh()
+    assert m.devices.size == 8 and m.axis_names == ("data", "model")
+    m2 = mesh_lib.build_mesh(n_data=4, n_model=2)
+    assert m2.devices.shape == (4, 2)
+
+
+def test_sharded_epoch_matches_unsharded(tiny_graph_dataset):
+    train, test = tiny_graph_dataset
+    cls = get_model_class("SimGCL")
+
+    runs = {}
+    for name, mesh in [("single", None), ("dp", {"data": 8, "model": 1}),
+                       ("dp_tp", {"data": 4, "model": 2})]:
+        model = cls(make_conf(mesh=mesh), train, test)
+        assert (model.mesh is None) == (mesh is None)
+        model.build()
+        model.run_epoch(0)
+        runs[name] = np.asarray(model.params["user_emb"])
+
+    # identical PRNG streams + deterministic math -> same params up to
+    # cross-shard reduction order
+    np.testing.assert_allclose(runs["single"], runs["dp"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(runs["single"], runs["dp_tp"], rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_eval_matches_unsharded(tiny_graph_dataset):
+    train, test = tiny_graph_dataset
+    cls = get_model_class("SimGCL")
+    single = cls(make_conf(), train, test)
+    single.build()
+    single.user_emb, single.item_emb = single._compute_emb_jit(single.params)
+    rl1 = single.test()
+
+    sharded = cls(make_conf(mesh={"data": 4, "model": 2}), train, test)
+    sharded.build()
+    sharded.user_emb, sharded.item_emb = sharded._compute_emb_jit(sharded.params)
+    rl2 = sharded.test()
+
+    assert rl1.keys() == rl2.keys()
+    for u in rl1:
+        assert [i for i, _ in rl1[u]] == [i for i, _ in rl2[u]]
+
+
+def test_shard_params_placement(tiny_graph_dataset):
+    mesh = mesh_lib.build_mesh(n_data=4, n_model=2)
+    params = {"user_emb": jnp.ones((40, 16)), "bias": jnp.ones((16,))}
+    placed = mesh_lib.shard_params(params, mesh)
+    from jax.sharding import PartitionSpec as P
+
+    assert placed["user_emb"].sharding.spec == P("model", None)
+    assert placed["bias"].sharding.spec == P()
