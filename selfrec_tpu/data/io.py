@@ -16,7 +16,35 @@ from typing import Dict, List, Sequence, Tuple
 
 
 def load_graph_data(path: str) -> List[Tuple[str, str, float]]:
-    """Load interaction triples. Reference: data/loader.py:23-32."""
+    """Load interaction triples. Reference: data/loader.py:23-32.
+
+    Uses the native C++ mmap loader (selfrec_tpu/native/loader.cpp) when the
+    toolchain is available — identical first-seen token semantics — and the
+    pure-Python parse otherwise (or with SELFREC_TPU_NO_NATIVE=1)."""
+    mapped = load_graph_mapped(path)
+    if mapped is not None:
+        src, dst, w, src_names, dst_names = mapped
+        return list(
+            zip(
+                (src_names[i] for i in src),
+                (dst_names[i] for i in dst),
+                w.astype(float),
+            )
+        )
+    return _load_graph_data_py(path)
+
+
+def load_graph_mapped(path: str):
+    """Native fast path: (src_ids, dst_ids, weights, src_names, dst_names)
+    or None when the native library is unavailable."""
+    try:
+        from selfrec_tpu import native
+    except ImportError:  # pragma: no cover
+        return None
+    return native.load_graph_mapped(path)
+
+
+def _load_graph_data_py(path: str) -> List[Tuple[str, str, float]]:
     data: List[Tuple[str, str, float]] = []
     with open(path) as f:
         for line in f:

@@ -95,6 +95,48 @@ def unique_with_mask(idx: jnp.ndarray, size: int):
     return jnp.where(mask, uniq, 0), mask
 
 
+def epoch_pointwise_batches(
+    rng,
+    edge_users,
+    edge_items,
+    n_items: int,
+    batch_size: int,
+    n_negs: int = 4,
+):
+    """Pointwise epoch batches: each positive followed by ``n_negs``
+    uniform negatives labeled 0 (reference util/sampler.py:31-55 — unused by
+    the shipped models but part of the public sampler surface). Returns
+    (users, items, labels, mask) of shape (n_batches, batch_size). Negatives
+    here are uniform over the catalog; exact rated-item exclusion is applied
+    on device by ops.sampling.sample_negatives when needed."""
+    import numpy as np
+
+    n = len(edge_users)
+    perm = rng.permutation(n)
+    group = 1 + n_negs
+    users = np.repeat(edge_users[perm], group)
+    items = np.empty(n * group, dtype=np.int32)
+    items[::group] = edge_items[perm]
+    labels = np.zeros(n * group, dtype=np.float32)
+    labels[::group] = 1.0
+    for k in range(1, group):
+        items[k::group] = rng.integers(0, n_items, n, dtype=np.int32)
+    total = n * group
+    n_batches = -(-total // batch_size)
+    pad = n_batches * batch_size - total
+    users = np.concatenate([users, np.zeros(pad, np.int32)])
+    items = np.concatenate([items, np.zeros(pad, np.int32)])
+    labels = np.concatenate([labels, np.zeros(pad, np.float32)])
+    mask = np.concatenate([np.ones(total, np.float32), np.zeros(pad, np.float32)])
+    shape = (n_batches, batch_size)
+    return (
+        users.reshape(shape),
+        items.reshape(shape),
+        labels.reshape(shape),
+        mask.reshape(shape),
+    )
+
+
 def epoch_pairwise_batches(
     rng,
     edge_users,
