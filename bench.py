@@ -42,12 +42,12 @@ def main():
     from selfrec_tpu.config import ModelConf
     from selfrec_tpu.models import get_model_class
     from selfrec_tpu.ops import sampling
-    from selfrec_tpu.utils.synth import synth_graph_triples
+    from selfrec_tpu.utils.synth import synth_graph_mapped
 
     log("devices:", jax.devices())
     t0 = time.time()
-    train, test = synth_graph_triples()
-    log(f"synth data: {len(train)} train / {len(test)} test ({time.time()-t0:.1f}s)")
+    train, test = synth_graph_mapped()
+    log(f"synth data: {len(train[0])} train / {len(test)} test ({time.time()-t0:.1f}s)")
 
     conf = ModelConf(
         {

@@ -23,31 +23,48 @@ from selfrec_tpu.data.graph import csr_to_edges, normalize_graph_mat
 
 
 class Interaction:
+    """``training_data`` is either a list of (user, item, weight) triples
+    (reference-compatible path) or a :class:`MappedGraph`-style tuple
+    ``(src_ids, dst_ids, weights, src_names, dst_names)`` from the native
+    loader (array-native fast path — no per-triple Python loops)."""
+
     def __init__(self, conf, training_data, test_data):
         self.config = conf
-        self.training_data = training_data
         self.test_data = test_data
 
         self.user: Dict[str, int] = {}
         self.item: Dict[str, int] = {}
         self.id2user: Dict[int, str] = {}
         self.id2item: Dict[int, str] = {}
-        self.training_set_u: Dict[str, Dict[str, float]] = defaultdict(dict)
-        self.training_set_i: Dict[str, Dict[str, float]] = defaultdict(dict)
         self.test_set: Dict[str, Dict[str, float]] = defaultdict(dict)
         self.test_set_item = set()
+        self._training_set_u = None
+        self._training_set_i = None
 
-        self._generate_set()
-        self.user_num = len(self.training_set_u)
-        self.item_num = len(self.training_set_i)
+        if isinstance(training_data, tuple) and len(training_data) == 5:
+            src, dst, _w, src_names, dst_names = training_data
+            self.training_data = training_data
+            self.user = {n: i for i, n in enumerate(src_names)}
+            self.item = {n: i for i, n in enumerate(dst_names)}
+            self.id2user = dict(enumerate(src_names))
+            self.id2item = dict(enumerate(dst_names))
+            self.edge_users = np.asarray(src, dtype=np.int32)
+            self.edge_items = np.asarray(dst, dtype=np.int32)
+            self._n_training = len(self.edge_users)
+            self._generate_test_set()
+        else:
+            self.training_data = training_data
+            self._generate_set()
+            self._n_training = len(training_data)
+            self.edge_users = np.array(
+                [self.user[u] for u, _, _ in training_data], dtype=np.int32
+            )
+            self.edge_items = np.array(
+                [self.item[i] for _, i, _ in training_data], dtype=np.int32
+            )
 
-        # Integer edge arrays (one entry per training interaction, original order).
-        self.edge_users = np.array(
-            [self.user[u] for u, _, _ in self.training_data], dtype=np.int32
-        )
-        self.edge_items = np.array(
-            [self.item[i] for _, i, _ in self.training_data], dtype=np.int32
-        )
+        self.user_num = len(self.user)
+        self.item_num = len(self.item)
         self.n_edges = len(self.edge_users)
 
         # scipy matrices (host-side, setup only).
@@ -71,6 +88,8 @@ class Interaction:
 
     # -- construction -------------------------------------------------------
     def _generate_set(self) -> None:
+        self._training_set_u = defaultdict(dict)
+        self._training_set_i = defaultdict(dict)
         for user, item, _rating in self.training_data:
             if user not in self.user:
                 uid = len(self.user)
@@ -80,12 +99,40 @@ class Interaction:
                 iid = len(self.item)
                 self.item[item] = iid
                 self.id2item[iid] = item
-            self.training_set_u[user][item] = 1
-            self.training_set_i[item][user] = 1
+            self._training_set_u[user][item] = 1
+            self._training_set_i[item][user] = 1
+        self._generate_test_set()
+
+    def _generate_test_set(self) -> None:
         for user, item, _rating in self.test_data:
             if user in self.user and item in self.item:
                 self.test_set[user][item] = 1
                 self.test_set_item.add(item)
+
+    # Lazy dict-of-dicts views (the reference's primary data structure,
+    # ui_graph.py:17-19). The array fast path never builds them unless the
+    # legacy query surface is actually used.
+    @property
+    def training_set_u(self) -> Dict[str, Dict[str, float]]:
+        if self._training_set_u is None:
+            d: Dict[str, Dict[str, float]] = defaultdict(dict)
+            for u, i in zip(self.edge_users, self.edge_items):
+                d[self.id2user[int(u)]][self.id2item[int(i)]] = 1
+            for uid in range(self.user_num):  # degree-0 users still present
+                d.setdefault(self.id2user[uid], {})
+            self._training_set_u = d
+        return self._training_set_u
+
+    @property
+    def training_set_i(self) -> Dict[str, Dict[str, float]]:
+        if self._training_set_i is None:
+            d: Dict[str, Dict[str, float]] = defaultdict(dict)
+            for u, i in zip(self.edge_users, self.edge_items):
+                d[self.id2item[int(i)]][self.id2user[int(u)]] = 1
+            for iid in range(self.item_num):
+                d.setdefault(self.id2item[iid], {})
+            self._training_set_i = d
+        return self._training_set_i
 
     def _build_interaction_mat(self) -> sp.csr_matrix:
         vals = np.ones(self.n_edges, dtype=np.float32)
@@ -144,7 +191,7 @@ class Interaction:
         return self.item.get(i)
 
     def training_size(self) -> Tuple[int, int, int]:
-        return len(self.user), len(self.item), len(self.training_data)
+        return len(self.user), len(self.item), self._n_training
 
     def test_size(self) -> Tuple[int, int, int]:
         return len(self.test_set), len(self.test_set_item), len(self.test_data)

@@ -15,10 +15,15 @@ from selfrec_tpu.models import get_model_class, MODEL_REGISTRY
 class SelfRecTPU:
     def __init__(self, config: ModelConf):
         self.config = config
-        self.training_data = io.load_data_set(
-            config["training.set"], config["model"]["type"]
-        )
-        self.test_data = io.load_data_set(config["test.set"], config["model"]["type"])
+        rec_type = config["model"]["type"]
+        self.training_data = None
+        if rec_type == "graph":
+            # array-native fast path: native loader + Interaction's mapped
+            # constructor, skipping per-triple Python loops entirely
+            self.training_data = io.load_graph_mapped(config["training.set"])
+        if self.training_data is None:
+            self.training_data = io.load_data_set(config["training.set"], rec_type)
+        self.test_data = io.load_data_set(config["test.set"], rec_type)
         self.kwargs = {}
         if config.contain("social.data"):
             social_data = io.load_social_data(config["social.data"])

@@ -19,6 +19,70 @@ YELP2018_ITEMS = 38048
 YELP2018_INTERACTIONS = 1561406
 
 
+def synth_graph_arrays(
+    n_users: int = YELP2018_USERS,
+    n_items: int = YELP2018_ITEMS,
+    n_interactions: int = YELP2018_INTERACTIONS,
+    seed: int = 2018,
+):
+    """(train_users, train_items, test_users, test_items) int arrays."""
+    rng = np.random.default_rng(seed)
+    deg = np.clip(
+        rng.lognormal(mean=np.log(n_interactions / n_users), sigma=1.0, size=n_users),
+        3,
+        2048,
+    )
+    deg = np.maximum((deg * (n_interactions / deg.sum())).astype(np.int64), 3)
+    item_pop = 1.0 / np.arange(1, n_items + 1) ** 0.8
+    item_pop /= item_pop.sum()
+
+    users_col = np.repeat(np.arange(n_users), deg)
+    items_col = rng.choice(n_items, size=len(users_col), p=item_pop)
+    pair_key = users_col.astype(np.int64) * n_items + items_col
+    _, uniq_idx = np.unique(pair_key, return_index=True)
+    users_col = users_col[np.sort(uniq_idx)]
+    items_col = items_col[np.sort(uniq_idx)]
+
+    order = np.argsort(users_col, kind="stable")
+    users_col, items_col = users_col[order], items_col[order]
+    is_last = np.r_[users_col[:-1] != users_col[1:], True]
+    return (
+        users_col[~is_last],
+        items_col[~is_last],
+        users_col[is_last],
+        items_col[is_last],
+    )
+
+
+def synth_graph_mapped(
+    n_users: int = YELP2018_USERS,
+    n_items: int = YELP2018_ITEMS,
+    n_interactions: int = YELP2018_INTERACTIONS,
+    seed: int = 2018,
+):
+    """(mapped_train, test_triples): train in the array-native 5-tuple form
+    Interaction's fast path consumes, test as string triples."""
+    tr_u, tr_i, te_u, te_i = synth_graph_arrays(
+        n_users, n_items, n_interactions, seed
+    )
+    # ids must be FIRST-SEEN renumbered for parity with the triple path
+    u_names = [f"u{u}" for u in dict.fromkeys(tr_u.tolist())]
+    i_names = [f"i{i}" for i in dict.fromkeys(tr_i.tolist())]
+    u_remap = np.full(n_users, -1, dtype=np.int32)
+    i_remap = np.full(n_items, -1, dtype=np.int32)
+    u_remap[[int(n[1:]) for n in u_names]] = np.arange(len(u_names))
+    i_remap[[int(n[1:]) for n in i_names]] = np.arange(len(i_names))
+    mapped = (
+        u_remap[tr_u],
+        i_remap[tr_i],
+        np.ones(len(tr_u), dtype=np.float32),
+        u_names,
+        i_names,
+    )
+    test = [(f"u{u}", f"i{i}", 1.0) for u, i in zip(te_u, te_i)]
+    return mapped, test
+
+
 def synth_graph_triples(
     n_users: int = YELP2018_USERS,
     n_items: int = YELP2018_ITEMS,

@@ -94,3 +94,34 @@ def test_convert_to_laplacian_mat(inter):
     assert lap.shape == (n, n)
     # full (undropped) interaction matrix should reproduce norm_adj
     np.testing.assert_allclose(lap.toarray(), inter.norm_adj.toarray(), rtol=1e-6)
+
+
+def test_interaction_mapped_path_parity(tiny_graph_dataset):
+    """Array-native constructor == triple constructor on every surface."""
+    import numpy as np
+
+    from selfrec_tpu.data.interaction import Interaction
+
+    train, test = tiny_graph_dataset
+    d1 = Interaction(None, train, test)
+    # build the mapped 5-tuple with the same first-seen order
+    users, items = {}, {}
+    src, dst = [], []
+    for u, i, _ in train:
+        src.append(users.setdefault(u, len(users)))
+        dst.append(items.setdefault(i, len(items)))
+    mapped = (
+        np.array(src, np.int32),
+        np.array(dst, np.int32),
+        np.ones(len(src), np.float32),
+        list(users),
+        list(items),
+    )
+    d2 = Interaction(None, mapped, test)
+    assert (d1.user, d1.item) == (d2.user, d2.item)
+    np.testing.assert_array_equal(d1.edge_users, d2.edge_users)
+    np.testing.assert_array_equal(d1.rated_items, d2.rated_items)
+    assert d1.test_set == d2.test_set
+    assert d1.training_set_u == d2.training_set_u  # lazy view parity
+    assert d1.training_size() == d2.training_size()
+    assert abs(d1.norm_adj - d2.norm_adj).max() < 1e-7
