@@ -70,40 +70,14 @@ def batched_full_rank_scores(
     """Like :func:`batched_full_rank` but for models whose full-catalog
     scores are not a user x item embedding dot product (e.g. KNN):
     ``score_block_fn(uids (B,)) -> (B, n_items) scores``."""
-    n = len(user_ids)
-    n_blocks = -(-n // block_size)
-    counts = (rated_offsets[user_ids + 1] - rated_offsets[user_ids]).astype(np.int64)
-    block_nnz = [
-        int(counts[b * block_size : (b + 1) * block_size].sum()) for b in range(n_blocks)
-    ]
-    pad_nnz = max(1, max(block_nnz))
-
-    for b in range(n_blocks):
-        uids = user_ids[b * block_size : (b + 1) * block_size]
-        valid = len(uids)
-        if valid < block_size:
-            uids = np.concatenate(
-                [uids, np.full(block_size - valid, uids[-1], dtype=uids.dtype)]
-            )
-        rows_list, cols_list = [], []
-        for r, u in enumerate(uids[:valid]):
-            lo, hi = rated_offsets[u], rated_offsets[u + 1]
-            cols_list.append(rated_items[lo:hi])
-            rows_list.append(np.full(hi - lo, r, dtype=np.int32))
-        cols = np.concatenate(cols_list) if cols_list else np.zeros(0, np.int32)
-        rows = np.concatenate(rows_list) if rows_list else np.zeros(0, np.int32)
-        pad = pad_nnz - len(rows)
-        rows = np.concatenate([rows, np.full(pad, block_size, dtype=np.int32)])
-        cols = np.concatenate([cols, np.zeros(pad, dtype=np.int32)])
-
-        scores = score_block_fn(jnp.asarray(uids))
-        top_scores, top_ids = topk_scores_masked(
-            scores, jnp.asarray(rows), jnp.asarray(cols), k
-        )
+    plan = EvalPlan(user_ids, rated_offsets, rated_items, block_size)
+    for b, (uids, rows, cols, valid) in enumerate(plan.blocks):
+        scores = score_block_fn(uids)
+        top_scores, top_ids = topk_scores_masked(scores, rows, cols, k)
         top_scores = np.asarray(top_scores)
         top_ids = np.asarray(top_ids)
         for r in range(valid):
-            yield user_ids[b * block_size + r], top_ids[r], top_scores[r]
+            yield plan.user_ids[b * plan.block_size + r], top_ids[r], top_scores[r]
 
 
 def rec_list_from_score_fn(
@@ -126,6 +100,60 @@ def rec_list_from_score_fn(
     return rec_list
 
 
+class EvalPlan:
+    """Precomputed per-block (padded uids, rated-mask rows/cols, valid count)
+    for batched full-rank eval. The rated masks never change during a run —
+    build once, reuse every fast_evaluation (device-resident)."""
+
+    def __init__(self, user_ids, rated_offsets, rated_items, block_size: int):
+        self.block_size = block_size
+        self.user_ids = np.asarray(user_ids)
+        n = len(self.user_ids)
+        n_blocks = -(-n // block_size)
+        counts = (
+            rated_offsets[self.user_ids + 1] - rated_offsets[self.user_ids]
+        ).astype(np.int64)
+        block_nnz = [
+            int(counts[b * block_size : (b + 1) * block_size].sum())
+            for b in range(n_blocks)
+        ]
+        pad_nnz = max(1, max(block_nnz))
+        self.blocks = []
+        for b in range(n_blocks):
+            uids = self.user_ids[b * block_size : (b + 1) * block_size]
+            valid = len(uids)
+            if valid < block_size:
+                uids = np.concatenate(
+                    [uids, np.full(block_size - valid, uids[-1], dtype=uids.dtype)]
+                )
+            rows_list, cols_list = [], []
+            for r, u in enumerate(uids[:valid]):
+                lo, hi = rated_offsets[u], rated_offsets[u + 1]
+                cols_list.append(rated_items[lo:hi])
+                rows_list.append(np.full(hi - lo, r, dtype=np.int32))
+            cols = np.concatenate(cols_list) if cols_list else np.zeros(0, np.int32)
+            rows = np.concatenate(rows_list) if rows_list else np.zeros(0, np.int32)
+            pad = pad_nnz - len(rows)
+            # pad with out-of-range rows -> dropped by scatter mode="drop"
+            rows = np.concatenate([rows, np.full(pad, block_size, dtype=np.int32)])
+            cols = np.concatenate([cols, np.zeros(pad, dtype=np.int32)])
+            self.blocks.append(
+                (jnp.asarray(uids), jnp.asarray(rows), jnp.asarray(cols), valid)
+            )
+
+
+def get_eval_plan(data, block_size: int) -> EvalPlan:
+    cache = getattr(data, "_eval_plan_cache", None)
+    if cache is None:
+        cache = data._eval_plan_cache = {}
+    plan = cache.get(block_size)
+    if plan is None:
+        plan = cache[block_size] = EvalPlan(
+            data.test_user_ids, data.rated_offsets, data.rated_items, block_size
+        )
+    return plan
+
+
 def batched_full_rank(
     user_ids: np.ndarray,
     get_user_block,
@@ -134,6 +162,7 @@ def batched_full_rank(
     rated_items: np.ndarray,
     k: int,
     block_size: int = 1024,
+    plan: "EvalPlan" = None,
 ):
     """Host driver: iterate user blocks, returning (ids, scores) per user.
 
@@ -142,41 +171,15 @@ def batched_full_rank(
     max block nnz, computed once so every block reuses one compiled kernel.
     Yields (user_id, top_item_ids (np), top_scores (np)) in input order.
     """
-    n = len(user_ids)
-    n_blocks = -(-n // block_size)
-    counts = (rated_offsets[user_ids + 1] - rated_offsets[user_ids]).astype(np.int64)
-    block_nnz = [
-        int(counts[b * block_size : (b + 1) * block_size].sum()) for b in range(n_blocks)
-    ]
-    pad_nnz = max(1, max(block_nnz))
-
-    for b in range(n_blocks):
-        uids = user_ids[b * block_size : (b + 1) * block_size]
-        valid = len(uids)
-        if valid < block_size:
-            uids = np.concatenate(
-                [uids, np.full(block_size - valid, uids[-1], dtype=uids.dtype)]
-            )
-        rows_list, cols_list = [], []
-        for r, u in enumerate(uids[:valid]):
-            lo, hi = rated_offsets[u], rated_offsets[u + 1]
-            cols_list.append(rated_items[lo:hi])
-            rows_list.append(np.full(hi - lo, r, dtype=np.int32))
-        cols = np.concatenate(cols_list) if cols_list else np.zeros(0, np.int32)
-        rows = np.concatenate(rows_list) if rows_list else np.zeros(0, np.int32)
-        pad = pad_nnz - len(rows)
-        # pad with out-of-range rows -> dropped by scatter mode="drop"
-        rows = np.concatenate([rows, np.full(pad, block_size, dtype=np.int32)])
-        cols = np.concatenate([cols, np.zeros(pad, dtype=np.int32)])
-
-        u_emb = get_user_block(jnp.asarray(uids))
-        top_scores, top_ids = topk_scores(
-            u_emb, item_emb, jnp.asarray(rows), jnp.asarray(cols), k
-        )
+    if plan is None:
+        plan = EvalPlan(user_ids, rated_offsets, rated_items, block_size)
+    for b, (uids, rows, cols, valid) in enumerate(plan.blocks):
+        u_emb = get_user_block(uids)
+        top_scores, top_ids = topk_scores(u_emb, item_emb, rows, cols, k)
         top_scores = np.asarray(top_scores)
         top_ids = np.asarray(top_ids)
         for r in range(valid):
-            yield user_ids[b * block_size + r], top_ids[r], top_scores[r]
+            yield plan.user_ids[b * plan.block_size + r], top_ids[r], top_scores[r]
 
 
 def rec_list_from_embeddings(
@@ -199,6 +202,7 @@ def rec_list_from_embeddings(
         data.rated_items,
         k,
         block_size=block_size,
+        plan=get_eval_plan(data, block_size),
     )
     for uid, ids, scores in gen:
         name = data.id2user[int(uid)]
