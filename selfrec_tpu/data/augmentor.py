@@ -44,3 +44,62 @@ def edge_dropout(sp_adj: sp.spmatrix, drop_rate: float, rng: np.random.Generator
     return sp.csr_matrix(
         (vals, (row_idx[keep_idx], col_idx[keep_idx])), shape=shape, dtype=np.float32
     )
+
+
+class GraphAugmentor:
+    """Class-surface parity with the reference ``GraphAugmentor``
+    (/root/reference/data/augmentor.py:6-40). Static methods take an
+    explicit rng for determinism (the reference uses the global RNG)."""
+
+    @staticmethod
+    def node_dropout(sp_adj, drop_rate, rng=None):
+        rng = rng or np.random.default_rng()
+        return node_dropout(sp_adj, drop_rate, rng)
+
+    @staticmethod
+    def edge_dropout(sp_adj, drop_rate, rng=None):
+        rng = rng or np.random.default_rng()
+        return edge_dropout(sp_adj, drop_rate, rng)
+
+
+class SequenceAugmentor:
+    """Host numpy sequence augmentations with reference semantics
+    (/root/reference/data/augmentor.py:43-74). The training hot path uses
+    the vectorised on-device versions in ops/seq_sampling.py; these exist
+    for the public augmentor surface and as a cross-check."""
+
+    @staticmethod
+    def item_crop(seq, seq_len, crop_ratio, rng=None):
+        rng = rng or np.random.default_rng()
+        augmented_seq = np.zeros_like(seq)
+        augmented_pos = np.zeros_like(seq)
+        aug_len = []
+        for i in range(len(seq)):
+            span = int(seq_len[i] * crop_ratio)
+            start = int(rng.integers(0, max(seq_len[i] - span, 1)))
+            crop_len = span + 1
+            augmented_seq[i, :crop_len] = seq[i, start : start + crop_len]
+            augmented_pos[i, :crop_len] = np.arange(1, crop_len + 1)
+            aug_len.append(crop_len)
+        return augmented_seq, augmented_pos, aug_len
+
+    @staticmethod
+    def item_reorder(seq, seq_len, reorder_ratio, rng=None):
+        rng = rng or np.random.default_rng()
+        augmented_seq = seq.copy()
+        for i in range(len(seq)):
+            span = int(seq_len[i] * reorder_ratio)
+            start = int(rng.integers(0, max(seq_len[i] - span, 1)))
+            rng.shuffle(augmented_seq[i, start : start + span + 1])
+        return augmented_seq
+
+    @staticmethod
+    def item_mask(seq, seq_len, mask_ratio, mask_idx, rng=None):
+        rng = rng or np.random.default_rng()
+        augmented_seq = seq.copy()
+        for i in range(len(seq)):
+            k = int(seq_len[i] * mask_ratio)
+            if k > 0:
+                to_mask = rng.choice(seq_len[i], size=k, replace=False)
+                augmented_seq[i, to_mask] = mask_idx
+        return augmented_seq

@@ -42,3 +42,12 @@ def csr_to_edges(mat: sp.spmatrix, sort_by_row: bool = True):
         order = np.argsort(row, kind="stable")
         row, col, val = row[order], col[order], val[order]
     return row, col, val
+
+
+class Graph:
+    """Class-surface parity with the reference ``Graph`` base
+    (/root/reference/data/graph.py:5-27)."""
+
+    @staticmethod
+    def normalize_graph_mat(adj_mat):
+        return normalize_graph_mat(adj_mat)

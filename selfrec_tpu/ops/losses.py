@@ -150,6 +150,23 @@ def uniformity_loss(x, t: int = 2):
     return jax.nn.logsumexp(-t * pair_d2) - jnp.log(pair_d2.shape[0])
 
 
+def ssm_loss(user_emb, pos_item_emb, neg_item_emb, mask=None):
+    """Sampled softmax over explicit negatives at tau=0.2 (reference
+    util/loss_tf.py:19-29): all embeddings l2-normalized; the positive is
+    prepended to the negative columns of the denominator."""
+    user_emb = l2_normalize(user_emb)
+    pos_item_emb = l2_normalize(pos_item_emb)
+    neg_item_emb = l2_normalize(neg_item_emb)
+    pos_score = jnp.sum(user_emb * pos_item_emb, axis=1)
+    ttl = user_emb @ neg_item_emb.T
+    if mask is not None:
+        ttl = jnp.where(mask.astype(bool)[None, :], ttl, -1e9)
+    ttl = jnp.concatenate([pos_score[:, None], ttl], axis=1)
+    pos_e = jnp.exp(pos_score / 0.2)
+    ttl_e = jnp.sum(jnp.exp(ttl / 0.2), axis=1)
+    return -_masked_mean(jnp.log(pos_e / ttl_e), mask)
+
+
 def bpr_loss_sum(user_emb, pos_item_emb, neg_item_emb, mask=None):
     """TF-variant BPR that sums instead of averaging (reference
     util/loss_tf.py:4-7), used by the social models (MHCN/SEPT)."""

@@ -257,3 +257,22 @@ def test_batched_full_rank_matches_argsort():
         expected = np.argsort(-ref_scores)[:4]
         np.testing.assert_array_equal(np.sort(ids), np.sort(expected))
         assert np.all(np.diff(scores) <= 1e-6)
+
+
+def test_ssm_loss_closed_form():
+    """ssm_loss (reference util/loss_tf.py:19-29) on a hand-checkable case:
+    orthogonal positive/negatives."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from selfrec_tpu.ops import losses
+
+    u = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    p = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])  # cos=1 with user
+    n = jnp.asarray([[0.0, 1.0], [1.0, 0.0]])  # cos=0 with user
+    # per row: pos=exp(1/.2); ttl=exp(1/.2)+2*exp(0/.2) (pos prepended + 2 negs... 
+    # negatives matrix is (2,2): row u0 vs all negs: cos(u0,n0)=0, cos(u0,n1)=1
+    pos = np.exp(5.0)
+    ttl0 = np.exp(5.0) + np.exp(0.0) + np.exp(5.0)
+    expected = -np.mean([np.log(pos / ttl0)] * 2)
+    np.testing.assert_allclose(float(losses.ssm_loss(u, p, n)), expected, rtol=1e-5)
