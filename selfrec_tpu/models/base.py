@@ -234,6 +234,10 @@ class JAXGraphRecommender(GraphRecommender):
         self.rng = np.random.default_rng(self.seed)
         self.key = jax.random.PRNGKey(self.seed)
         self.mesh = self._build_mesh()
+        if conf.contain("compute.dtype"):
+            from selfrec_tpu.ops.precision import set_compute_dtype
+
+            set_compute_dtype(conf["compute.dtype"])
         self._rated_items = jnp.asarray(self.data.rated_items)
         self._rated_offsets = jnp.asarray(self.data.rated_offsets)
         max_deg = int(self.data.rated_counts().max()) if self.data.user_num else 1

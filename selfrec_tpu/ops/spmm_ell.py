@@ -98,9 +98,16 @@ def ell_weights(layout: EllLayout, edge_w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _ell_apply(layout: EllLayout, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    from selfrec_tpu.ops.precision import compute_dtype
+
     v, k = layout.vidx.shape
-    g = x[layout.vidx.reshape(-1)].reshape(v, k, x.shape[-1])
-    partial = jnp.einsum("vk,vkd->vd", w, g)
+    dt = compute_dtype()
+    src = x if dt is None else x.astype(dt)
+    g = src[layout.vidx.reshape(-1)].reshape(v, k, x.shape[-1])
+    ww = w if dt is None else w.astype(dt)
+    partial = jnp.einsum(
+        "vk,vkd->vd", ww, g, preferred_element_type=jnp.float32
+    )
     return jax.ops.segment_sum(
         partial, layout.vdst, num_segments=layout.n_rows, indices_are_sorted=True
     )

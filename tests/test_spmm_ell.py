@@ -117,3 +117,26 @@ def test_norm_adj_from_scipy_ell_default(tiny_graph_dataset):
         rtol=1e-4,
         atol=1e-5,
     )
+
+
+def test_ell_bf16_compute_close_to_f32():
+    from selfrec_tpu.ops import precision
+
+    n = 150
+    rows, cols, w = random_graph(n, n, 2000)
+    adj = ell_adj_from_edges(cols, rows, w, n_rows=n, k=8)
+    x = jnp.asarray(
+        np.random.default_rng(6).standard_normal((n, 16)).astype(np.float32)
+    )
+    out32 = np.asarray(g_ops.spmm(adj, x))
+    precision.set_compute_dtype("bfloat16")
+    try:
+        out16 = np.asarray(g_ops.spmm(adj, x))
+        assert out16.dtype == np.float32  # f32 accumulate
+    finally:
+        precision.set_compute_dtype("float32")
+    # bf16 inputs, f32 accumulate: error bounded by a few ulps of the
+    # OUTPUT SCALE (entries near zero cancel, so pointwise relative error
+    # is the wrong metric)
+    scale = np.abs(out32).max()
+    assert np.abs(out16 - out32).max() < 0.02 * scale
