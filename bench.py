@@ -83,7 +83,7 @@ def main():
     params, opt_state, key = model.params, model.opt_state, model.key
 
     t0 = time.time()
-    params, opt_state, key, losses = epoch_fn(
+    params, opt_state, key, aux, losses = epoch_fn(
         params, opt_state, key, aux, users, items, masks
     )
     jax.block_until_ready(losses)
@@ -92,7 +92,7 @@ def main():
     best_dt = float("inf")
     for _ in range(N_TIMED_REPS):
         t0 = time.time()
-        params, opt_state, key, losses = epoch_fn(
+        params, opt_state, key, aux, losses = epoch_fn(
             params, opt_state, key, aux, users, items, masks
         )
         jax.block_until_ready(losses)
