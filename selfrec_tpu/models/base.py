@@ -543,6 +543,7 @@ class JAXSequentialRecommender(SequentialRecommender):
         super().__init__(conf, training_set, test_set, **kwargs)
         self.rng = np.random.default_rng(self.seed)
         self.key = jax.random.PRNGKey(self.seed)
+        self.mesh = JAXGraphRecommender._build_mesh(self)
         self.params = None
         self.opt_state = None
         self.optimizer = None
@@ -564,7 +565,11 @@ class JAXSequentialRecommender(SequentialRecommender):
         self.key, init_key = jax.random.split(self.key)
         self.params = self.init_params(init_key)
         self.optimizer = self.make_optimizer()
-        self.opt_state = self.optimizer.init(self.params)
+        if self.mesh is not None:
+            self.params = mesh_lib.shard_params(self.params, self.mesh)
+            self.opt_state = jax.jit(self.optimizer.init)(self.params)
+        else:
+            self.opt_state = self.optimizer.init(self.params)
         self._predict_jit = jax.jit(self.predict_scores)
 
     def _make_epoch_fn(self):
@@ -615,7 +620,13 @@ class JAXSequentialRecommender(SequentialRecommender):
         )
 
         def cut(a):
-            return jnp.asarray(a[idx].reshape(n_batches, bs, *a.shape[1:]))
+            arr = jnp.asarray(a[idx].reshape(n_batches, bs, *a.shape[1:]))
+            if self.mesh is not None and bs % self.mesh.shape[mesh_lib.DATA_AXIS] == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                spec = P(None, mesh_lib.DATA_AXIS, *([None] * (arr.ndim - 2)))
+                arr = jax.device_put(arr, NamedSharding(self.mesh, spec))
+            return arr
 
         self.params, self.opt_state, self.key, losses_out = self._epoch_fn(
             self.params,

@@ -85,3 +85,48 @@ def test_shard_params_placement(tiny_graph_dataset):
 
     assert placed["user_emb"].sharding.spec == P("model", None)
     assert placed["bias"].sharding.spec == P()
+
+
+def test_sequential_sharded_matches_unsharded():
+    rng = np.random.default_rng(11)
+    train, test = {}, {}
+    for s in range(64):
+        start = int(rng.integers(0, 20))
+        length = int(rng.integers(6, 14))
+        train[f"s{s}"] = [f"i{(start + k) % 20}" for k in range(length)]
+        test[f"s{s}"] = [f"i{(start + length) % 20}"]
+
+    def conf(mesh=None):
+        c = {
+            "training.set": "<memory>",
+            "test.set": "<memory>",
+            "model": {"name": "SASRec", "type": "sequential"},
+            "item.ranking.topN": [5, 10],
+            "embedding.size": 32,
+            "max.epoch": 1,
+            "batch.size": 32,
+            "learning.rate": 0.01,
+            "reg.lambda": 0.0001,
+            "max.len": 16,
+            "SASRec": {"n_blocks": 1, "drop_rate": 0.0, "n_heads": 2},
+            "output": "/tmp/selfrec_tpu_test_results/",
+            "seed": 3,
+        }
+        if mesh:
+            c["mesh"] = mesh
+        return ModelConf(c)
+
+    cls = get_model_class("SASRec")
+    m1 = cls(conf(), train, test)
+    m1.build()
+    m1.run_epoch(0)
+    m2 = cls(conf(mesh={"data": 4, "model": 2}), train, test)
+    assert m2.mesh is not None
+    m2.build()
+    m2.run_epoch(0)
+    np.testing.assert_allclose(
+        np.asarray(m1.params["item_emb"]),
+        np.asarray(m2.params["item_emb"]),
+        rtol=2e-4,
+        atol=2e-5,
+    )
