@@ -97,17 +97,33 @@ def ell_weights(layout: EllLayout, edge_w: jnp.ndarray) -> jnp.ndarray:
     return flat.reshape(v, k)
 
 
+import os
+
+# einsum: one (V*K, D) gather + contraction — fewer ops, larger intermediate.
+# loop:   K sequential (V, D) gathers with fused multiply-accumulate — no
+#         (V, K, D) intermediate in HBM. Which wins is a bandwidth question;
+#         A/B per platform via SELFREC_TPU_ELL_MODE.
+_ELL_MODE = os.environ.get("SELFREC_TPU_ELL_MODE", "einsum")
+
+
 def _ell_apply(layout: EllLayout, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     from selfrec_tpu.ops.precision import compute_dtype
 
     v, k = layout.vidx.shape
     dt = compute_dtype()
     src = x if dt is None else x.astype(dt)
-    g = src[layout.vidx.reshape(-1)].reshape(v, k, x.shape[-1])
     ww = w if dt is None else w.astype(dt)
-    partial = jnp.einsum(
-        "vk,vkd->vd", ww, g, preferred_element_type=jnp.float32
-    )
+    if _ELL_MODE == "loop":
+        partial = jnp.zeros((v, x.shape[-1]), dtype=jnp.float32)
+        for kk in range(k):
+            partial = partial + (
+                src[layout.vidx[:, kk]] * ww[:, kk, None]
+            ).astype(jnp.float32)
+    else:
+        g = src[layout.vidx.reshape(-1)].reshape(v, k, x.shape[-1])
+        partial = jnp.einsum(
+            "vk,vkd->vd", ww, g, preferred_element_type=jnp.float32
+        )
     return jax.ops.segment_sum(
         partial, layout.vdst, num_segments=layout.n_rows, indices_are_sorted=True
     )
