@@ -95,10 +95,19 @@ class ModelConf:
             self.config[dotted_key] = value
             return
         parts = dotted_key.split(".")
-        # descend only into EXISTING nested mappings (model sections like
-        # ``SimGCL.lambda``); otherwise the reference schema treats dotted
-        # names as literal top-level keys (``checkpoint.dir``, ``max.len``).
-        if len(parts) > 1 and isinstance(self.config.get(parts[0]), dict):
+        # descend into EXISTING nested mappings (model sections like
+        # ``SimGCL.lambda``) and KNOWN section names even when absent
+        # (``--set mesh.data=4`` must create the mesh section, not a literal
+        # top-level key); otherwise the reference schema treats dotted names
+        # as literal top-level keys (``checkpoint.dir``, ``max.len``).
+        known_sections = {"model", "mesh"}
+        model_name = self.config.get("model", {})
+        if isinstance(model_name, dict) and model_name.get("name"):
+            known_sections.add(model_name["name"])
+        if len(parts) > 1 and (
+            isinstance(self.config.get(parts[0]), dict)
+            or parts[0] in known_sections
+        ):
             node = self.config
             for part in parts[:-1]:
                 if not isinstance(node.get(part), dict):

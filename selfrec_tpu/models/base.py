@@ -150,8 +150,13 @@ class _FastEvalMixin:
 class GraphRecommender(_FastEvalMixin, Recommender):
     """Graph (user-item) recommender base with batched device evaluation."""
 
-    eval_interval = 5  # fast_evaluation cadence in epochs (reference: every 5 for LightGCN)
     eval_block_size = 1024
+
+    def should_evaluate(self, epoch: int) -> bool:
+        """fast_evaluation cadence. Reference default: EVERY epoch (e.g.
+        SimGCL.py:40, DirectAU.py:34, BUIR.py:40); MF/LightGCN evaluate at
+        epoch %% 5 == 0 and SGL from epoch >= 5 — those models override."""
+        return True
 
     def __init__(self, conf, training_set, test_set, **kwargs):
         super().__init__(conf, training_set, test_set, **kwargs)
@@ -423,24 +428,30 @@ class JAXGraphRecommender(GraphRecommender):
         if ckpt_dir and (epoch + 1) % interval == 0:
             ckpt.save_checkpoint(ckpt_dir, epoch + 1, ckpt.train_state(self))
 
-    def _profiler_hook(self, epoch: int):
+    def _profiler_hook(self, epoch: int, start_epoch: int):
         """jax.profiler trace of one steady-state epoch (SURVEY.md §5
         tracing row — absent in the reference). Config: ``profile.dir``;
-        epoch 1 is traced (epoch 0 includes compilation)."""
+        the second epoch of this process run is traced (the first includes
+        compilation)."""
         profile_dir = self.config.get("profile.dir")
         if not profile_dir:
             return
-        if epoch == 1:
+        if epoch == start_epoch + 1:
             jax.profiler.start_trace(profile_dir)
-        elif epoch == 2:
-            jax.profiler.stop_trace()
-            print(f"Profiler trace for epoch 2 written to {profile_dir}")
+            self._trace_active = True
+        elif getattr(self, "_trace_active", False):
+            self._stop_trace(profile_dir)
+
+    def _stop_trace(self, profile_dir):
+        jax.profiler.stop_trace()
+        self._trace_active = False
+        print(f"Profiler trace written to {profile_dir}")
 
     def train(self):
         start_epoch = self._maybe_resume()
         n_examples = self.data.n_edges
         for epoch in range(start_epoch, self.max_epoch):
-            self._profiler_hook(epoch)
+            self._profiler_hook(epoch, start_epoch)
             t0 = time()
             losses = self.run_epoch(epoch)
             jax.block_until_ready(self.params)
@@ -452,9 +463,11 @@ class JAXGraphRecommender(GraphRecommender):
                 f"epoch {epoch + 1}: {dt:.2f}s, {n_examples / max(dt, 1e-9):,.0f} examples/s"
             )
             self.user_emb, self.item_emb = self._compute_emb_jit(self.params)
-            if (epoch + 1) % self.eval_interval == 0 or epoch == self.max_epoch - 1:
+            if self.should_evaluate(epoch):
                 self.fast_evaluation(epoch)
             self._maybe_checkpoint(epoch)
+        if getattr(self, "_trace_active", False):
+            self._stop_trace(self.config.get("profile.dir"))
         if self.best_user_emb is not None:
             self.user_emb, self.item_emb = self.best_user_emb, self.best_item_emb
 

@@ -29,8 +29,6 @@ from selfrec_tpu.ops.losses import l2_normalize
 
 
 class BUIR(JAXGraphRecommender):
-    eval_interval = 1  # reference fast_evaluation every epoch (BUIR.py:40)
-
     def __init__(self, conf, training_set, test_set, **kwargs):
         super().__init__(conf, training_set, test_set, **kwargs)
         args = conf[self.model_name] if conf.contain(self.model_name) else {}

@@ -22,8 +22,6 @@ from selfrec_tpu.ops.init import xavier_uniform
 
 
 class DirectAU(JAXGraphRecommender):
-    eval_interval = 1  # reference DirectAU.py:35 evaluates every epoch
-
     def __init__(self, conf, training_set, test_set, **kwargs):
         super().__init__(conf, training_set, test_set, **kwargs)
         args = conf[self.model_name] if conf.contain(self.model_name) else {}

@@ -40,16 +40,23 @@ class ItemKNN(GraphRecommender):
                 np.float32
             )
         )
+        # item-side CSC (offsets, users) built once: per-block rows are
+        # cheap slices, mirroring UserKNN's rated CSR
+        order = np.argsort(self.data.edge_items, kind="stable")
+        self._csc_users = self.data.edge_users[order].astype(np.int32)
+        counts = np.bincount(self.data.edge_items, minlength=self.data.item_num)
+        self._csc_offsets = np.zeros(self.data.item_num + 1, dtype=np.int64)
+        np.cumsum(counts, out=self._csc_offsets[1:])
         self._sim_adj = None  # top-k item-similarity edges
         self._score_jit = None
 
     def _dense_item_block(self, iids: np.ndarray) -> np.ndarray:
-        """(B, n_users) dense rows of Rᵀ for an item block."""
+        """(B, n_users) dense rows of Rᵀ for an item block (duplicate padded
+        ids each get their full row — padded rows are discarded anyway)."""
         block = np.zeros((len(iids), self.data.user_num), dtype=np.float32)
-        sel = np.isin(self.data.edge_items, iids)
-        remap = {int(i): r for r, i in enumerate(iids)}
-        for u, i in zip(self.data.edge_users[sel], self.data.edge_items[sel]):
-            block[remap[int(i)], u] = 1.0
+        for r, i in enumerate(iids):
+            lo, hi = self._csc_offsets[i], self._csc_offsets[i + 1]
+            block[r, self._csc_users[lo:hi]] = 1.0
         return block
 
     def train(self):

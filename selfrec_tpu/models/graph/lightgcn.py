@@ -20,6 +20,9 @@ import jax.numpy as jnp
 
 
 class LightGCN(JAXGraphRecommender):
+    def should_evaluate(self, epoch):
+        return epoch % 5 == 0  # reference cadence (MF.py:30, LightGCN.py:34)
+
     def __init__(self, conf, training_set, test_set, **kwargs):
         super().__init__(conf, training_set, test_set, **kwargs)
         args = conf[self.model_name] if conf.contain(self.model_name) else {}

@@ -16,6 +16,9 @@ from selfrec_tpu.ops.init import xavier_uniform
 
 
 class MF(JAXGraphRecommender):
+    def should_evaluate(self, epoch):
+        return epoch % 5 == 0  # reference cadence (MF.py:30, LightGCN.py:34)
+
     def init_params(self, key):
         ku, ki = jax.random.split(key)
         return {

@@ -33,8 +33,6 @@ N_CHANNELS = 4
 
 
 class MHCN(JAXGraphRecommender):
-    eval_interval = 1
-
     def __init__(self, conf, training_set, test_set, **kwargs):
         super().__init__(conf, training_set, test_set, **kwargs)
         args = conf[self.model_name] if conf.contain(self.model_name) else {}

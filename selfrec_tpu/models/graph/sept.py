@@ -39,8 +39,6 @@ SS_TEMP = 0.1  # hardcoded in reference SEPT.py:130-131
 
 
 class SEPT(JAXGraphRecommender):
-    eval_interval = 1
-
     def __init__(self, conf, training_set, test_set, **kwargs):
         super().__init__(conf, training_set, test_set, **kwargs)
         args = conf[self.model_name] if conf.contain(self.model_name) else {}
@@ -109,7 +107,11 @@ class SEPT(JAXGraphRecommender):
             self._joint_phase = joint
             self._epoch_fn = None
             # the joint phase uses its own fresh Adam (v2_opt, SEPT.py:150-153)
-            self.opt_state = self.optimizer.init(self.params)
+            # — but only at the actual warm->joint boundary; a checkpoint
+            # resumed INSIDE the joint phase must keep its restored moments.
+            prev_joint = (epoch - 1) > self.max_epoch / 3
+            if joint and not prev_joint:
+                self.opt_state = self.optimizer.init(self.params)
         return super().run_epoch(epoch)
 
     def epoch_setup(self, epoch):

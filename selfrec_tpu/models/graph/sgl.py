@@ -37,6 +37,9 @@ from selfrec_tpu.ops.sampling import unique_with_mask
 
 
 class SGL(JAXGraphRecommender):
+    def should_evaluate(self, epoch):
+        return epoch >= 5  # reference cadence (SGL.py:44-45)
+
     def __init__(self, conf, training_set, test_set, **kwargs):
         super().__init__(conf, training_set, test_set, **kwargs)
         args = conf[self.model_name] if conf.contain(self.model_name) else {}

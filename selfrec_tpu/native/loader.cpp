@@ -89,12 +89,25 @@ GraphData* selfrec_load_graph(const char* path) {
     return out;
   }
   size_t size = (size_t)st.st_size;
-  char* buf = (char*)mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+  // MAP_PRIVATE of size+1 would not guarantee a readable trailing byte when
+  // the file length is an exact page multiple, and strtof on the last token
+  // of a newline-less final line must be able to read one byte past the
+  // data. Copy into a NUL-terminated private buffer instead (one read, the
+  // interning still uses zero-copy string_views into it).
+  char* buf = (char*)std::malloc(size + 1);
+  size_t got = 0;
+  while (got < size) {
+    ssize_t r = read(fd, buf + got, size - got);
+    if (r <= 0) break;
+    got += (size_t)r;
+  }
   close(fd);
-  if (buf == MAP_FAILED) {
-    out->error = dup_error("mmap failed");
+  if (got != size) {
+    std::free(buf);
+    out->error = dup_error("short read");
     return out;
   }
+  buf[size] = '\0';
 
   Interner src_in, dst_in;
   std::vector<int32_t> src, dst;
@@ -144,7 +157,7 @@ GraphData* selfrec_load_graph(const char* path) {
   out->n_dst = (int64_t)dst_in.names.size();
   pack_names(src_in.names, &out->src_blob, &out->src_offsets);
   pack_names(dst_in.names, &out->dst_blob, &out->dst_offsets);
-  munmap(buf, size);
+  std::free(buf);  // interned string_views are dead past this point
   return out;
 }
 

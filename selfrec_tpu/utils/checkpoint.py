@@ -72,6 +72,48 @@ def restore_checkpoint(
     return step, state
 
 
+_METRIC_KEYS = ("Hit Ratio", "Precision", "Recall", "NDCG")
+
+
+def _pack_best(model) -> dict:
+    """Best-model tracking state (epoch + metrics + snapshot), fixed
+    structure whether or not a best exists yet (epoch -1 = none)."""
+    bp = getattr(model, "best_performance", [])
+    vec = np.full(1 + len(_METRIC_KEYS), -1.0, dtype=np.float64)
+    if bp:
+        vec[0] = bp[0]
+        for i, k in enumerate(_METRIC_KEYS):
+            vec[1 + i] = bp[1].get(k, -1.0)
+    best = {"perf": vec}
+    if hasattr(model, "best_params"):  # sequential
+        best["params"] = (
+            model.best_params if model.best_params is not None else model.params
+        )
+    else:  # graph: embedding snapshots
+        u, i = model._compute_emb_jit(model.params)
+        best["user_emb"] = (
+            model.best_user_emb if model.best_user_emb is not None else jax.device_get(u)
+        )
+        best["item_emb"] = (
+            model.best_item_emb if model.best_item_emb is not None else jax.device_get(i)
+        )
+    return best
+
+
+def _apply_best(model, best: dict) -> None:
+    vec = np.asarray(best["perf"])
+    if vec[0] >= 0:
+        model.best_performance = [
+            int(vec[0]),
+            {k: float(vec[1 + i]) for i, k in enumerate(_METRIC_KEYS)},
+        ]
+        if "params" in best:
+            model.best_params = best["params"]
+        else:
+            model.best_user_emb = best["user_emb"]
+            model.best_item_emb = best["item_emb"]
+
+
 def train_state(model) -> dict:
     """The resumable state of a JAX recommender (graph or sequential)."""
     state = {
@@ -79,6 +121,7 @@ def train_state(model) -> dict:
         "opt_state": model.opt_state,
         "key": model.key,
         "aux": getattr(model, "aux", {}),
+        "best": _pack_best(model),
     }
     return state
 
@@ -89,3 +132,5 @@ def apply_train_state(model, state: dict) -> None:
     model.key = state["key"]
     if "aux" in state and state["aux"]:
         model.aux = state["aux"]
+    if "best" in state:
+        _apply_best(model, state["best"])

@@ -56,3 +56,23 @@ def test_checkpoint_resume_matches_continuous_run(tiny_graph_dataset, tmp_path):
         rtol=2e-3,
         atol=2e-4,
     )
+
+
+def test_checkpoint_preserves_best_tracking(tiny_graph_dataset, tmp_path):
+    """Regression: best_performance / best snapshots survive resume."""
+    train, test = tiny_graph_dataset
+    cls = get_model_class("MF")
+    m1 = cls(_conf(tmp_path, 2), train, test)
+    m1.build()
+    m1.train()
+    assert m1.best_performance
+
+    m2 = cls(_conf(tmp_path, 4), train, test)
+    m2.build()
+    start = m2._maybe_resume()
+    assert start == 2
+    assert m2.best_performance and m2.best_performance[0] == m1.best_performance[0]
+    assert m2.best_performance[1] == m1.best_performance[1]
+    np.testing.assert_allclose(
+        np.asarray(m2.best_user_emb), np.asarray(m1.best_user_emb)
+    )

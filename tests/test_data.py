@@ -125,3 +125,16 @@ def test_interaction_mapped_path_parity(tiny_graph_dataset):
     assert d1.training_set_u == d2.training_set_u  # lazy view parity
     assert d1.training_size() == d2.training_size()
     assert abs(d1.norm_adj - d2.norm_adj).max() < 1e-7
+
+
+def test_set_dotted_creates_known_sections():
+    from selfrec_tpu.config import ModelConf
+
+    conf = ModelConf({"model": {"name": "SimGCL", "type": "graph"}})
+    conf.set_dotted("mesh.data", "4")
+    conf.set_dotted("mesh.model", "2")
+    conf.set_dotted("SimGCL.lambda", "0.2")
+    conf.set_dotted("checkpoint.dir", "/tmp/x")
+    assert conf["mesh"] == {"data": 4, "model": 2}
+    assert conf["SimGCL"]["lambda"] == 0.2
+    assert conf["checkpoint.dir"] == "/tmp/x"  # literal, not nested

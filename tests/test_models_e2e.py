@@ -229,3 +229,36 @@ def test_mf_deterministic_with_seed(tiny_graph_dataset):
     _, perf1 = run_model("MF", tiny_graph_dataset, max_epoch=2)
     _, perf2 = run_model("MF", tiny_graph_dataset, max_epoch=2)
     assert perf1 == perf2
+
+
+def test_itemknn_dense_block_covers_padded_tail(tiny_graph_dataset):
+    """Regression: the padded final similarity block must not zero the last
+    valid item's row (old remap-dict bug)."""
+    import numpy as np
+
+    conf = make_conf("ItemKNN", topK=10, shrinkage=2)
+    cls = get_model_class("ItemKNN")
+    model = cls(conf, *tiny_graph_dataset)
+    last = model.data.item_num - 1
+    iids = np.arange(model.data.item_num, dtype=np.int32)
+    padded = np.concatenate([iids, np.full(4, iids[-1], np.int32)])
+    block = model._dense_item_block(padded)
+    deg = model._csc_offsets[last + 1] - model._csc_offsets[last]
+    assert block[last].sum() == deg > 0
+    assert (block[-1] == block[last]).all()  # duplicate pad rows filled too
+
+
+def test_eval_cadence_matches_reference(tiny_graph_dataset):
+    from selfrec_tpu.models.graph.lightgcn import LightGCN
+    from selfrec_tpu.models.graph.sgl import SGL
+    from selfrec_tpu.models.graph.simgcl import SimGCL
+
+    conf = make_conf("LightGCN")
+    m = LightGCN(conf, *tiny_graph_dataset)
+    assert [e for e in range(12) if m.should_evaluate(e)] == [0, 5, 10]
+    conf = make_conf("SGL", extra={"n_layer": 2})
+    m = SGL(conf, *tiny_graph_dataset)
+    assert [e for e in range(8) if m.should_evaluate(e)] == [5, 6, 7]
+    conf = make_conf("SimGCL", extra={"n_layer": 2})
+    m = SimGCL(conf, *tiny_graph_dataset)
+    assert all(m.should_evaluate(e) for e in range(8))
