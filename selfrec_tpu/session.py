@@ -15,6 +15,14 @@ from selfrec_tpu.models import get_model_class, MODEL_REGISTRY
 class SelfRecTPU:
     def __init__(self, config: ModelConf):
         self.config = config
+        if config.get("distributed"):
+            from selfrec_tpu.parallel.distributed import (
+                maybe_initialize,
+                process_info,
+            )
+
+            maybe_initialize(config)
+            print(process_info())
         rec_type = config["model"]["type"]
         self.training_data = None
         if rec_type == "graph":
