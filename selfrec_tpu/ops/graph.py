@@ -6,8 +6,10 @@ normalized adjacency lives as flat edge arrays (src, dst, w); propagation is
 a gather + weighted segment-sum, which XLA lowers to dense-friendly fused
 ops, is trivially differentiable (transpose of a gather-scatter is a
 scatter-gather) and shards cleanly along the edge axis (partial segment sums
-+ psum). A tiled Pallas SpMM kernel over the same layout lives in
-:mod:`selfrec_tpu.ops.spmm_pallas` for the single-chip fast path.
++ psum). The production fast path is the row-split ELL layout in
+:mod:`selfrec_tpu.ops.spmm_ell` (gather-only forward AND backward via a
+custom VJP); this edge-list form remains the fallback and the layout for
+dynamically re-normalized views.
 
 Also provides fully on-device normalized-adjacency construction from an edge
 keep-mask, replacing the reference's per-epoch host scipy rebuild for SGL

@@ -24,6 +24,14 @@ static layout: ``edge_slots`` maps original edge order -> flat ELL slot, so
 new weights are one scatter of E scalars (cheap), not a layout rebuild.
 Weight cotangents are zero: adjacency weights are graph constants, never
 functions of trainable parameters.
+
+On a hand-written Pallas kernel: the irreducible cost of unstructured SpMM
+is the random-access row gather, which XLA already lowers to the TPU's
+native gather path; a Pallas version would have to either re-express that
+gather (scalar row loop — strictly slower) or keep the table resident in
+VMEM (~16MB/core caps it at ~100k bf16 rows at D=64, losing generality).
+Until profiling on hardware shows the XLA gather leaving bandwidth on the
+table, this module IS the TPU kernel strategy; revisit with a measured gap.
 """
 
 from __future__ import annotations
