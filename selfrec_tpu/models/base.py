@@ -187,10 +187,34 @@ class GraphRecommender(_FastEvalMixin, Recommender):
         train loops sets self.user_emb/item_emb."""
         return self.user_emb, self.item_emb
 
+    def _sharded_topk_impl(self):
+        """Per-shard top-k + merge when the item table is row-sharded over a
+        >1 model axis (selfrec_tpu/parallel/topk.py); None otherwise."""
+        mesh = getattr(self, "mesh", None)
+        if mesh is None or mesh.shape.get(mesh_lib.MODEL_AXIS, 1) <= 1:
+            return None
+        n_items = self.data.item_num
+        n_shards = mesh.shape[mesh_lib.MODEL_AXIS]
+        if n_items % n_shards != 0 or self.max_N > n_items // n_shards:
+            return None
+        impl = getattr(self, "_sharded_topk_fn", None)
+        if impl is None:
+            from selfrec_tpu.parallel.topk import make_sharded_topk
+
+            impl = self._sharded_topk_fn = make_sharded_topk(
+                mesh, n_items, self.max_N
+            )
+        return impl
+
     def test(self) -> Dict[str, list]:
         user_emb, item_emb = self.current_embeddings()
         return ranking.rec_list_from_embeddings(
-            self.data, user_emb, item_emb, self.max_N, block_size=self.eval_block_size
+            self.data,
+            user_emb,
+            item_emb,
+            self.max_N,
+            block_size=self.eval_block_size,
+            topk_impl=self._sharded_topk_impl(),
         )
 
     def evaluate(self, rec_list):

@@ -163,19 +163,26 @@ def batched_full_rank(
     k: int,
     block_size: int = 1024,
     plan: "EvalPlan" = None,
+    topk_impl=None,
 ):
     """Host driver: iterate user blocks, returning (ids, scores) per user.
 
     ``get_user_block(uids)`` maps an int32 id array to the block's user
     embeddings (allows arbitrary encoders). The rated-mask pad size is the
     max block nnz, computed once so every block reuses one compiled kernel.
-    Yields (user_id, top_item_ids (np), top_scores (np)) in input order.
+    ``topk_impl(u_emb, item_emb, rows, cols) -> (scores, ids)`` overrides
+    the default masked top-k (e.g. the sharded per-shard merge in
+    selfrec_tpu.parallel.topk). Yields (user_id, top_item_ids (np),
+    top_scores (np)) in input order.
     """
     if plan is None:
         plan = EvalPlan(user_ids, rated_offsets, rated_items, block_size)
     for b, (uids, rows, cols, valid) in enumerate(plan.blocks):
         u_emb = get_user_block(uids)
-        top_scores, top_ids = topk_scores(u_emb, item_emb, rows, cols, k)
+        if topk_impl is not None:
+            top_scores, top_ids = topk_impl(u_emb, item_emb, rows, cols)
+        else:
+            top_scores, top_ids = topk_scores(u_emb, item_emb, rows, cols, k)
         top_scores = np.asarray(top_scores)
         top_ids = np.asarray(top_ids)
         for r in range(valid):
@@ -188,6 +195,7 @@ def rec_list_from_embeddings(
     item_emb,
     k: int,
     block_size: int = 1024,
+    topk_impl=None,
 ) -> Dict[str, List[Tuple[str, float]]]:
     """Build the reference-format rec_list {user_name: [(item_name, score)]}
     for all test users from final user/item embedding tables."""
@@ -203,6 +211,7 @@ def rec_list_from_embeddings(
         k,
         block_size=block_size,
         plan=get_eval_plan(data, block_size),
+        topk_impl=topk_impl,
     )
     for uid, ids, scores in gen:
         name = data.id2user[int(uid)]

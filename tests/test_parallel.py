@@ -130,3 +130,32 @@ def test_sequential_sharded_matches_unsharded():
         rtol=2e-4,
         atol=2e-5,
     )
+
+
+def test_sharded_topk_matches_dense(tiny_graph_dataset):
+    """Per-shard top-k + merge == full masked top-k, ids and scores."""
+    import jax
+
+    from selfrec_tpu.ops import ranking
+    from selfrec_tpu.parallel.topk import make_sharded_topk
+
+    train, test = tiny_graph_dataset
+    cls = get_model_class("SimGCL")
+    model = cls(make_conf(mesh={"data": 4, "model": 2}), train, test)
+    model.build()
+    model.user_emb, model.item_emb = model._compute_emb_jit(model.params)
+    impl = model._sharded_topk_impl()
+    assert impl is not None
+
+    rl_sharded = model.test()
+    # force the dense path for comparison
+    rl_dense = ranking.rec_list_from_embeddings(
+        model.data, model.user_emb, model.item_emb, model.max_N,
+        block_size=model.eval_block_size, topk_impl=None,
+    )
+    assert rl_sharded.keys() == rl_dense.keys()
+    for u in rl_dense:
+        assert [i for i, _ in rl_sharded[u]] == [i for i, _ in rl_dense[u]]
+        np.testing.assert_allclose(
+            [s for _, s in rl_sharded[u]], [s for _, s in rl_dense[u]], rtol=1e-5
+        )
