@@ -140,3 +140,52 @@ def test_ell_bf16_compute_close_to_f32():
     # is the wrong metric)
     scale = np.abs(out32).max()
     assert np.abs(out16 - out32).max() < 0.02 * scale
+
+
+def test_bipartite_ell_template_reweight_matches_host_renorm(tiny_graph_dataset):
+    """Dropped-view fast path == host edge_dropout + convert_to_laplacian_mat
+    (the reference SGL pipeline, SGL.py:89-96)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from selfrec_tpu.data.interaction import Interaction
+    from selfrec_tpu.ops.graph import (
+        bipartite_renorm_weights,
+        build_bipartite_ell_template,
+    )
+
+    train, test = tiny_graph_dataset
+    data = Interaction(None, train, test)
+    rng = np.random.default_rng(3)
+    keep = rng.random(data.n_edges) > 0.2
+
+    # host reference pipeline
+    kept_mat = sp.csr_matrix(
+        (
+            np.ones(int(keep.sum()), np.float32),
+            (data.edge_users[keep], data.edge_items[keep]),
+        ),
+        shape=(data.user_num, data.item_num),
+    )
+    host_norm = data.convert_to_laplacian_mat(kept_mat)
+
+    # device fast path
+    tmpl = build_bipartite_ell_template(
+        data.edge_users, data.edge_items, data.user_num, data.item_num, k=8
+    )
+    w = bipartite_renorm_weights(
+        jnp.asarray(data.edge_users),
+        jnp.asarray(data.edge_items),
+        jnp.asarray(keep),
+        data.user_num,
+        data.item_num,
+    )
+    adj = tmpl.reweight(w)
+    n = data.user_num + data.item_num
+    x = np.random.default_rng(4).standard_normal((n, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(g_ops.spmm(adj, jnp.asarray(x))),
+        host_norm @ x,
+        rtol=1e-4,
+        atol=1e-5,
+    )
