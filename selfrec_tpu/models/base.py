@@ -354,8 +354,6 @@ class JAXGraphRecommender(GraphRecommender):
     def _make_epoch_fn(self):
         n_items = self.data.item_num
         n_search = self._n_search_steps
-        rated_items = self._rated_items
-        rated_offsets = self._rated_offsets
         optimizer = self.optimizer
 
         n_negs = self.n_negs
@@ -369,8 +367,8 @@ class JAXGraphRecommender(GraphRecommender):
             neg = sampling.sample_negatives(
                 k_neg,
                 batch["u"],
-                rated_items,
-                rated_offsets,
+                self._rated_items,  # scan consts via the attribute swap
+                self._rated_offsets,
                 n_items,
                 shape=neg_shape,
                 n_rounds=self.n_neg_rounds,
@@ -385,14 +383,40 @@ class JAXGraphRecommender(GraphRecommender):
             aux = self.step_update(params, aux, full_batch)
             return (params, opt_state, key, aux), loss
 
-        def epoch_fn(params, opt_state, key, aux, users, items, masks):
-            (params, opt_state, key, aux), losses = jax.lax.scan(
-                step, (params, opt_state, key, aux),
-                {"u": users, "i": items, "mask": masks},
-            )
+        def epoch_fn(params, opt_state, key, aux, users, items, masks, consts):
+            # Large static pytrees (adjacencies) enter as ARGUMENTS, not jit
+            # constants: 100MB+ constants inside a lax.scan body send XLA
+            # into minutes of constant processing (measured 10x compile
+            # blowup). During tracing the model attributes are swapped for
+            # the traced views so batch_loss reads them transparently.
+            saved = {n: getattr(self, n) for n in consts}
+            for n, v in consts.items():
+                setattr(self, n, v)
+            try:
+                (params, opt_state, key, aux), losses = jax.lax.scan(
+                    step, (params, opt_state, key, aux),
+                    {"u": users, "i": items, "mask": masks},
+                )
+            finally:
+                for n, v in saved.items():
+                    setattr(self, n, v)
             return params, opt_state, key, aux, losses
 
         return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+    # attributes holding large static device pytrees used inside batch_loss;
+    # threaded through the jitted epoch as scan-invariant arguments
+    scan_const_attrs = (
+        "adj", "social_adj", "sharing_adj", "H", "R", "Rt",
+        "_rated_items", "_rated_offsets",
+    )
+
+    def _scan_consts(self):
+        return {
+            n: getattr(self, n)
+            for n in self.scan_const_attrs
+            if getattr(self, n, None) is not None
+        }
 
     def epoch_rng(self, epoch: int, stream: int = 0) -> np.random.Generator:
         """Host RNG as a pure function of (seed, epoch, stream): epoch
@@ -424,6 +448,7 @@ class JAXGraphRecommender(GraphRecommender):
             users,
             items,
             masks,
+            self._scan_consts(),
         )
         return np.asarray(losses)
 

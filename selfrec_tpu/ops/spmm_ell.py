@@ -44,11 +44,14 @@ import numpy as np
 
 
 class EllLayout(NamedTuple):
-    """Static gather layout for one propagation direction."""
+    """Static gather layout for one propagation direction. ``vidx`` is kept
+    FLAT (V*K,) so no reshape of the large constant happens inside jit
+    (XLA would constant-fold the copy on every compile)."""
 
-    vidx: jnp.ndarray  # (V, K) int32 source ids, pad -> 0
+    vidx: jnp.ndarray  # (V*K,) int32 source ids, pad -> 0
     vdst: jnp.ndarray  # (V,) int32 destination row per virtual row, sorted
     n_rows: int
+    k: int
     edge_slots: jnp.ndarray  # (E,) flat position of edge e in vidx/w
 
 
@@ -90,9 +93,10 @@ def build_ell_layout(
     edge_slots[order] = flat.astype(np.int32)
 
     layout = EllLayout(
-        vidx=jnp.asarray(vidx.reshape(v, k)),
+        vidx=jnp.asarray(vidx),
         vdst=jnp.asarray(vdst),
         n_rows=n_rows,
+        k=k,
         edge_slots=jnp.asarray(edge_slots),
     )
     return layout, order
@@ -100,7 +104,7 @@ def build_ell_layout(
 
 def ell_weights(layout: EllLayout, edge_w: jnp.ndarray) -> jnp.ndarray:
     """(V, K) weight matrix from per-edge weights in ORIGINAL edge order."""
-    v, k = layout.vidx.shape
+    v, k = layout.vdst.shape[0], layout.k
     flat = jnp.zeros(v * k, dtype=edge_w.dtype).at[layout.edge_slots].set(edge_w)
     return flat.reshape(v, k)
 
@@ -117,18 +121,19 @@ _ELL_MODE = os.environ.get("SELFREC_TPU_ELL_MODE", "einsum")
 def _ell_apply(layout: EllLayout, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     from selfrec_tpu.ops.precision import compute_dtype
 
-    v, k = layout.vidx.shape
+    v, k = layout.vdst.shape[0], layout.k
     dt = compute_dtype()
     src = x if dt is None else x.astype(dt)
     ww = w if dt is None else w.astype(dt)
     if _ELL_MODE == "loop":
         partial = jnp.zeros((v, x.shape[-1]), dtype=jnp.float32)
+        vidx2d = layout.vidx.reshape(v, k)
         for kk in range(k):
             partial = partial + (
-                src[layout.vidx[:, kk]] * ww[:, kk, None]
+                src[vidx2d[:, kk]] * ww[:, kk, None]
             ).astype(jnp.float32)
     else:
-        g = src[layout.vidx.reshape(-1)].reshape(v, k, x.shape[-1])
+        g = src[layout.vidx].reshape(v, k, x.shape[-1])
         partial = jnp.einsum(
             "vk,vkd->vd", ww, g, preferred_element_type=jnp.float32
         )
@@ -155,15 +160,15 @@ class EllAdj:
             (self.fwd.vidx, self.fwd.vdst, self.fwd.edge_slots, self.w_fwd,
              self.bwd.vidx, self.bwd.vdst, self.bwd.edge_slots, self.w_bwd,
              self.edge_w),
-            (self.fwd.n_rows, self.bwd.n_rows),
+            (self.fwd.n_rows, self.fwd.k, self.bwd.n_rows, self.bwd.k),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (fvi, fvd, fes, fw, bvi, bvd, bes, bw, ew) = children
         return cls(
-            EllLayout(fvi, fvd, aux[0], fes), fw,
-            EllLayout(bvi, bvd, aux[1], bes), bw, ew,
+            EllLayout(fvi, fvd, aux[0], aux[1], fes), fw,
+            EllLayout(bvi, bvd, aux[2], aux[3], bes), bw, ew,
         )
 
     def reweight(self, edge_w: jnp.ndarray) -> "EllAdj":
@@ -177,7 +182,7 @@ class EllAdj:
 
     def __repr__(self):
         return (
-            f"EllAdj(V={self.fwd.vidx.shape[0]}, K={self.fwd.vidx.shape[1]},"
+            f"EllAdj(V={self.fwd.vdst.shape[0]}, K={self.fwd.k},"
             f" n_rows={self.fwd.n_rows})"
         )
 
