@@ -80,11 +80,12 @@ def main():
 
     epoch_fn = model._make_epoch_fn()
     aux = model.epoch_setup(0)
+    consts = model._scan_consts()
     params, opt_state, key = model.params, model.opt_state, model.key
 
     t0 = time.time()
     params, opt_state, key, aux, losses = epoch_fn(
-        params, opt_state, key, aux, users, items, masks
+        params, opt_state, key, aux, users, items, masks, consts
     )
     jax.block_until_ready(losses)
     log(f"compile+first run: {time.time()-t0:.1f}s, loss[0]={float(losses[0]):.4f}")
@@ -93,7 +94,7 @@ def main():
     for _ in range(N_TIMED_REPS):
         t0 = time.time()
         params, opt_state, key, aux, losses = epoch_fn(
-            params, opt_state, key, aux, users, items, masks
+            params, opt_state, key, aux, users, items, masks, consts
         )
         jax.block_until_ready(losses)
         best_dt = min(best_dt, time.time() - t0)

@@ -81,11 +81,13 @@ def main():
         cut = lambda a: jnp.asarray(a[:m])
         epoch_fn = model._make_epoch_fn()
         aux = model.epoch_setup(0)
+        consts = model._scan_consts()
         state = (model.params, model.opt_state, model.key)
-        out = epoch_fn(*state, aux, cut(users), cut(items), cut(masks))
+        out = epoch_fn(*state, aux, cut(users), cut(items), cut(masks), consts)
         jax.block_until_ready(out[-1])  # compile + warmup
         t0 = time.time()
-        out = epoch_fn(out[0], out[1], out[2], out[3], cut(users), cut(items), cut(masks))
+        out = epoch_fn(out[0], out[1], out[2], out[3], cut(users), cut(items),
+                       cut(masks), consts)
         jax.block_until_ready(out[-1])
         dt = time.time() - t0
         eps_total = m * model.batch_size / dt

@@ -127,10 +127,12 @@ def _ell_apply(layout: EllLayout, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray
     ww = w if dt is None else w.astype(dt)
     if _ELL_MODE == "loop":
         partial = jnp.zeros((v, x.shape[-1]), dtype=jnp.float32)
-        vidx2d = layout.vidx.reshape(v, k)
         for kk in range(k):
+            # strided slice of the flat layout — no reshape-copy of the
+            # large constant inside jit
+            col = jax.lax.slice(layout.vidx, (kk,), (v * k,), (k,))
             partial = partial + (
-                src[vidx2d[:, kk]] * ww[:, kk, None]
+                src[col] * ww[:, kk, None]
             ).astype(jnp.float32)
     else:
         g = src[layout.vidx].reshape(v, k, x.shape[-1])

@@ -16,12 +16,9 @@ top-ks.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from selfrec_tpu.parallel.mesh import MODEL_AXIS
 from selfrec_tpu.ops.ranking import MASK_VALUE
