@@ -22,9 +22,9 @@ import jax.numpy as jnp
 from selfrec_tpu.models.base import JAXGraphRecommender
 from selfrec_tpu.ops import losses
 from selfrec_tpu.ops.graph import (
+    fused_simgcl_propagate,
     lightgcn_propagate,
     norm_adj_from_scipy,
-    perturbed_propagate,
 )
 from selfrec_tpu.ops.init import xavier_uniform
 from selfrec_tpu.ops.sampling import unique_with_mask
@@ -57,14 +57,7 @@ class SimGCL(JAXGraphRecommender):
         )
         return out[: self.data.user_num], out[self.data.user_num :]
 
-    def cl_loss(self, params, batch, key):
-        k1, k2 = jax.random.split(key)
-        view1 = perturbed_propagate(
-            self.adj, self._ego(params), self.n_layers, k1, self.eps
-        )
-        view2 = perturbed_propagate(
-            self.adj, self._ego(params), self.n_layers, k2, self.eps
-        )
+    def _cl_from_views(self, view1, view2, batch):
         nu = self.data.user_num
         valid = batch["mask"].astype(bool)
         u_idx, u_mask = unique_with_mask(
@@ -82,12 +75,19 @@ class SimGCL(JAXGraphRecommender):
         return user_cl + item_cl
 
     def batch_loss(self, params, batch, key):
-        user_all, item_all = self.compute_embeddings(params)
+        # 1 clean + 2 perturbed propagations as ONE width-3D chain
+        # (ops/graph.fused_simgcl_propagate — TPU gathers are latency-bound
+        # at D=64, so this is ~1.7x cheaper than three chains)
+        clean, view1, view2 = fused_simgcl_propagate(
+            self.adj, self._ego(params), self.n_layers, key, self.eps
+        )
+        nu = self.data.user_num
+        user_all, item_all = clean[:nu], clean[nu:]
         u = user_all[batch["u"]]
         p = item_all[batch["i"]]
         n = item_all[batch["j"]]
         mask = batch["mask"]
         rec = losses.bpr_loss(u, p, n, mask=mask)
         reg = losses.l2_reg_loss(self.reg, u, p, mask=mask)
-        cl = self.cl_rate * self.cl_loss(params, batch, key)
+        cl = self.cl_rate * self._cl_from_views(view1, view2, batch)
         return rec + reg + cl

@@ -154,7 +154,7 @@ def bipartite_renorm_weights(
 
 
 def build_bipartite_ell_template(
-    edge_users, edge_items, n_users: int, n_items: int, k: int = 32
+    edge_users, edge_items, n_users: int, n_items: int, k: int = 16
 ):
     """Static EllAdj over the symmetric bipartite edge list (host, one-time);
     reweight per epoch/step with :func:`bipartite_renorm_weights`."""
@@ -168,6 +168,45 @@ def build_bipartite_ell_template(
     dst = np.concatenate([ei + n_users, eu])
     w = np.ones(2 * len(eu), dtype=np.float32)
     return ell_adj_from_edges(src, dst, w, n_rows=n_users + n_items, k=k)
+
+
+def fused_simgcl_propagate(
+    adj,
+    ego: jnp.ndarray,
+    n_layers: int,
+    key: jax.Array,
+    eps: float,
+):
+    """SimGCL's three propagation chains (1 clean + 2 noise-perturbed,
+    SimGCL.py:27-47) fused into ONE width-3D propagation.
+
+    TPU rationale: the ELL gather is latency-bound at D=64 — a D=128 row
+    costs the same as D=64 and D=192 only ~1.7x (measured on v5e), so
+    packing the three passes into one (n, 3D) tensor turns 3 gather chains
+    into 1 for a ~1.7x propagation speedup. Propagation is linear, so
+    spmm(adj, concat) == concat(spmm(adj, .)) exactly; the per-pass noise
+    (sign(e)*eps*rownorm(U[0,1)), SimGCL.py:85-88) is applied to the two
+    perturbed slices after each hop. All three outputs average layers 1..K
+    (layer 0 excluded, SimGCL.py:83-91).
+
+    Returns (clean, view1, view2), each (n, D).
+    """
+    d = ego.shape[1]
+    x = jnp.concatenate([ego, ego, ego], axis=1)
+    keys = jax.random.split(key, 2 * n_layers).reshape(n_layers, 2, -1)
+    acc = jnp.zeros_like(x)
+    for k in range(n_layers):
+        x = spmm(adj, x)
+        c, p1, p2 = x[:, :d], x[:, d : 2 * d], x[:, 2 * d :]
+        parts = [c]
+        for j, p in enumerate((p1, p2)):
+            noise = jax.random.uniform(keys[k, j], p.shape, dtype=p.dtype)
+            noise = noise / (jnp.linalg.norm(noise, axis=-1, keepdims=True) + 1e-12)
+            parts.append(p + jnp.sign(p) * noise * eps)
+        x = jnp.concatenate(parts, axis=1)
+        acc = acc + x
+    out = acc / n_layers
+    return out[:, :d], out[:, d : 2 * d], out[:, 2 * d :]
 
 
 def build_norm_adj_from_mask(
@@ -234,7 +273,7 @@ def adj_dropout(adj, key: jax.Array, rate):
     return NormAdj(adj.src, adj.dst, w, adj.n_nodes, adj.sorted_by_dst)
 
 
-def norm_adj_from_scipy(norm_adj, ell: Optional[bool] = None, k: int = 32):
+def norm_adj_from_scipy(norm_adj, ell: Optional[bool] = None, k: int = 16):
     """Device adjacency from a host scipy normalized matrix (one-time setup).
 
     Returns the row-split EllAdj fast path by default (set env
@@ -247,6 +286,7 @@ def norm_adj_from_scipy(norm_adj, ell: Optional[bool] = None, k: int = 32):
 
     if ell is None:
         ell = os.environ.get("SELFREC_TPU_ELL", "1") != "0"
+    k = int(os.environ.get("SELFREC_TPU_ELL_K", k))
     coo = norm_adj.tocoo()
     if ell:
         from selfrec_tpu.ops.spmm_ell import ell_adj_from_edges
