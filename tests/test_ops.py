@@ -276,3 +276,33 @@ def test_ssm_loss_closed_form():
     ttl0 = np.exp(5.0) + np.exp(0.0) + np.exp(5.0)
     expected = -np.mean([np.log(pos / ttl0)] * 2)
     np.testing.assert_allclose(float(losses.ssm_loss(u, p, n)), expected, rtol=1e-5)
+
+
+def test_fused_simgcl_propagate_matches_clean_chain():
+    """With eps=0 the fused width-3D chain must equal the plain clean
+    propagation for all three outputs (linearity of spmm)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from selfrec_tpu.ops.graph import fused_simgcl_propagate, lightgcn_propagate
+    from selfrec_tpu.ops.spmm_ell import ell_adj_from_edges
+
+    rng = np.random.default_rng(0)
+    n, e = 80, 600
+    rows = rng.integers(0, n, e).astype(np.int32)
+    cols = rng.integers(0, n, e).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+    adj = ell_adj_from_edges(cols, rows, w, n_rows=n, k=8)
+    ego = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+
+    clean_ref = lightgcn_propagate(adj, ego, 3, include_layer0=False)
+    c, v1, v2 = fused_simgcl_propagate(adj, ego, 3, jax.random.PRNGKey(0), 0.0)
+    for out in (c, v1, v2):
+        np.testing.assert_allclose(np.asarray(out), np.asarray(clean_ref), rtol=1e-5)
+
+    # with eps > 0 the perturbed views differ from clean and from each other
+    c, v1, v2 = fused_simgcl_propagate(adj, ego, 3, jax.random.PRNGKey(0), 0.1)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(clean_ref), rtol=1e-5)
+    assert np.abs(np.asarray(v1) - np.asarray(clean_ref)).max() > 1e-3
+    assert np.abs(np.asarray(v1) - np.asarray(v2)).max() > 1e-3
