@@ -37,6 +37,13 @@ from selfrec_tpu.ops.sampling import unique_with_mask
 
 
 class SGL(JAXGraphRecommender):
+    # the packed-view template + clean weights are large static pytrees used
+    # inside batch_loss — thread them through the jitted epoch as args
+    scan_const_attrs = JAXGraphRecommender.scan_const_attrs + (
+        "_view_template",
+        "_w_clean",
+    )
+
     def should_evaluate(self, epoch):
         return epoch >= 5  # reference cadence (SGL.py:44-45)
 
@@ -59,6 +66,14 @@ class SGL(JAXGraphRecommender):
                 self.data.user_num,
                 self.data.item_num,
             )
+        )
+        # clean-graph weights over the SAME layout (== norm_adj normalization)
+        self._w_clean = bipartite_renorm_weights(
+            self._edge_users_dev,
+            self._edge_items_dev,
+            jnp.ones(self.data.n_edges, dtype=bool),
+            self.data.user_num,
+            self.data.item_num,
         )
 
     def init_params(self, key):
@@ -98,27 +113,48 @@ class SGL(JAXGraphRecommender):
             keep[kept] = True
         return keep
 
-    def _dropped_adj(self, rng):
-        w = bipartite_renorm_weights(
+    def _view_weights(self, rng):
+        return bipartite_renorm_weights(
             self._edge_users_dev,
             self._edge_items_dev,
             jnp.asarray(self._edge_keep_mask(rng)),
             self.data.user_num,
             self.data.item_num,
         )
-        return self._view_template.reweight(w)
 
     def epoch_setup(self, epoch):
         rng = self.epoch_rng(epoch, stream=1)
-        return {"adj1": self._dropped_adj(rng), "adj2": self._dropped_adj(rng)}
+        return {"w1": self._view_weights(rng), "w2": self._view_weights(rng)}
 
     # -- loss ----------------------------------------------------------------
-    def cl_loss(self, params, batch, aux):
+    def batch_loss(self, params, batch, key):
+        from selfrec_tpu.ops.spmm_ell import ell_spmm_packed
+
+        # clean graph + the two dropped views share the template's ELL
+        # layout (only weights differ), so the 3 propagation chains run as
+        # ONE packed width-3D gather chain (see spmm_ell.ell_spmm_packed).
+        aux = batch["aux"]
+        w_stack = jnp.stack([self._w_clean, aux["w1"], aux["w2"]])
         ego = self._ego(params)
-        view1 = lightgcn_propagate(aux["adj1"], ego, self.n_layers, include_layer0=True)
-        view2 = lightgcn_propagate(aux["adj2"], ego, self.n_layers, include_layer0=True)
+        x = jnp.concatenate([ego, ego, ego], axis=1)
+        acc = x  # include_layer0=True (SGL.py:100-111)
+        for _ in range(self.n_layers):
+            x = ell_spmm_packed(self._view_template, w_stack, x, 3)
+            acc = acc + x
+        out = acc / (self.n_layers + 1)
+        d = self.emb_size
+        clean, view1, view2 = out[:, :d], out[:, d : 2 * d], out[:, 2 * d :]
+
         nu = self.data.user_num
-        valid = batch["mask"].astype(bool)
+        user_all, item_all = clean[:nu], clean[nu:]
+        u = user_all[batch["u"]]
+        p = item_all[batch["i"]]
+        n = item_all[batch["j"]]
+        mask = batch["mask"]
+        rec = losses.bpr_loss(u, p, n, mask=mask)
+        reg = losses.l2_reg_loss(self.reg, u, p, n, mask=mask)
+
+        valid = mask.astype(bool)
         u_idx, u_mask = unique_with_mask(
             jnp.where(valid, batch["u"], -1), self.batch_size
         )
@@ -128,15 +164,5 @@ class SGL(JAXGraphRecommender):
         v1 = jnp.concatenate([view1[:nu][u_idx], view1[nu:][i_idx]], axis=0)
         v2 = jnp.concatenate([view2[:nu][u_idx], view2[nu:][i_idx]], axis=0)
         m = jnp.concatenate([u_mask, i_mask], axis=0)
-        return losses.infonce(v1, v2, self.temp, mask=m)
-
-    def batch_loss(self, params, batch, key):
-        user_all, item_all = self.compute_embeddings(params)
-        u = user_all[batch["u"]]
-        p = item_all[batch["i"]]
-        n = item_all[batch["j"]]
-        mask = batch["mask"]
-        rec = losses.bpr_loss(u, p, n, mask=mask)
-        reg = losses.l2_reg_loss(self.reg, u, p, n, mask=mask)
-        cl = self.cl_rate * self.cl_loss(params, batch, batch["aux"])
+        cl = self.cl_rate * losses.infonce(v1, v2, self.temp, mask=m)
         return rec + reg + cl

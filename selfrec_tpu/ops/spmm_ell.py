@@ -231,3 +231,68 @@ def _ell_spmm_bwd(adj, g):
 
 
 ell_spmm.defvjp(_ell_spmm_fwd, _ell_spmm_bwd)
+
+
+# -- packed multi-pass SpMM ---------------------------------------------------
+#
+# Several models propagate MULTIPLE embedding sets over adjacencies that
+# share one ELL LAYOUT and differ only in weights (SGL's clean graph + two
+# dropped views, SGL.py:28-29; BUIR's two dropout draws, BUIR.py:118-135).
+# Since the TPU gather is latency-bound in D (see fused_simgcl_propagate),
+# packing P passes into one (n, P*D) tensor with per-pass weight planes
+# turns P gather chains into one.
+
+
+def _ell_apply_packed(layout: EllLayout, w_stack: jnp.ndarray, x: jnp.ndarray,
+                      n_passes: int) -> jnp.ndarray:
+    """w_stack (P, V, K); x (n, P*D) -> (n_rows, P*D)."""
+    from selfrec_tpu.ops.precision import compute_dtype
+
+    v, k = layout.vdst.shape[0], layout.k
+    p = n_passes
+    d = x.shape[-1] // p
+    dt = compute_dtype()
+    src = x if dt is None else x.astype(dt)
+    ww = w_stack if dt is None else w_stack.astype(dt)
+    g = src[layout.vidx].reshape(v, k, p, d)
+    partial = jnp.einsum(
+        "pvk,vkpd->vpd", ww, g, preferred_element_type=jnp.float32
+    ).reshape(v, p * d)
+    return jax.ops.segment_sum(
+        partial, layout.vdst, num_segments=layout.n_rows, indices_are_sorted=True
+    )
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3,))
+def ell_spmm_packed(adj: EllAdj, w_edge_stack: jnp.ndarray, x: jnp.ndarray,
+                    n_passes: int) -> jnp.ndarray:
+    """P-pass packed SpMM over one shared layout.
+
+    ``w_edge_stack`` (P, E) per-pass weights in ORIGINAL edge order (the
+    template's); ``x`` (n, P*D). Gradient flows to ``x`` only (weights are
+    graph constants)."""
+    w_fwd = jax.vmap(lambda w: ell_weights(adj.fwd, w))(w_edge_stack)
+    return _ell_apply_packed(adj.fwd, w_fwd, x, n_passes)
+
+
+def _ell_spmm_packed_fwd(adj, w_edge_stack, x, n_passes):
+    return ell_spmm_packed(adj, w_edge_stack, x, n_passes), (adj, w_edge_stack)
+
+
+def _ell_spmm_packed_bwd(n_passes, res, g):
+    adj, w_edge_stack = res
+    w_bwd = jax.vmap(lambda w: ell_weights(adj.bwd, w))(w_edge_stack)
+    dx = _ell_apply_packed(adj.bwd, w_bwd, g, n_passes)
+    zero_adj = jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        if jnp.issubdtype(a.dtype, jnp.integer)
+        else jnp.zeros_like(a),
+        adj,
+    )
+    return zero_adj, jnp.zeros_like(w_edge_stack), dx
+
+
+ell_spmm_packed.defvjp(_ell_spmm_packed_fwd, _ell_spmm_packed_bwd)
