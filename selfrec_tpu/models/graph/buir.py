@@ -79,14 +79,40 @@ class BUIR(JAXGraphRecommender):
         )
 
     def batch_loss(self, params, batch, key):
+        from selfrec_tpu.ops.spmm_ell import EllAdj, ell_spmm_packed
+
         k_on, k_tg = jax.random.split(key)
         aux = batch["aux"]
-        u_on_all, i_on_all = self._propagate(
-            params["user_emb"], params["item_emb"], k_on
-        )
         t_user = jax.lax.stop_gradient(aux["t_user"])
         t_item = jax.lax.stop_gradient(aux["t_item"])
-        u_tg_all, i_tg_all = self._propagate(t_user, t_item, k_tg)
+        if isinstance(self.adj, EllAdj):
+            # online + target chains share the adjacency LAYOUT and differ
+            # only in their dropout draws -> one packed width-2D gather
+            # chain (ops/spmm_ell.ell_spmm_packed)
+            def drop_w(k):
+                k_rate, k_keep = jax.random.split(k)
+                rate = jax.random.uniform(k_rate) * self.drop_rate
+                keep = jax.random.uniform(k_keep, self.adj.edge_w.shape) >= rate
+                return jnp.where(keep, self.adj.edge_w / (1.0 - rate), 0.0)
+
+            w_stack = jnp.stack([drop_w(k_on), drop_w(k_tg)])
+            on_ego = jnp.concatenate([params["user_emb"], params["item_emb"]], 0)
+            tg_ego = jnp.concatenate([t_user, t_item], 0)
+            x = jnp.concatenate([on_ego, tg_ego], axis=1)
+            acc = x  # include_layer0 (BUIR.py:137-141)
+            for _ in range(self.n_layers):
+                x = ell_spmm_packed(self.adj, w_stack, x, 2)
+                acc = acc + x
+            out = acc / (self.n_layers + 1)
+            d = self.emb_size
+            nu = self.data.user_num
+            u_on_all, i_on_all = out[:nu, :d], out[nu:, :d]
+            u_tg_all, i_tg_all = out[:nu, d:], out[nu:, d:]
+        else:
+            u_on_all, i_on_all = self._propagate(
+                params["user_emb"], params["item_emb"], k_on
+            )
+            u_tg_all, i_tg_all = self._propagate(t_user, t_item, k_tg)
 
         u_online = linear_apply(params["predictor"], u_on_all[batch["u"]])
         i_online = linear_apply(params["predictor"], i_on_all[batch["i"]])
