@@ -329,11 +329,22 @@ class JAXGraphRecommender(GraphRecommender):
         return built
 
     def shard_adj(self, adj):
-        """Place an adjacency's arrays (NormAdj edge lists or EllAdj virtual
-        rows) over the data axis — sharded partial segment-sums; GSPMD adds
-        the psum. No-op on a single device."""
+        """Place an adjacency on the mesh. With a model axis >1, EllAdj is
+        rebuilt as a HaloAdj (parallel/halo.py): explicit halo-exchange
+        shard_map SpMM over the row-sharded table — GSPMD's own resolution of
+        the ELL gather all-reduces the nnz-sized gather output instead
+        (scripts/audit_collectives.py). Otherwise (pure DP) arrays go over
+        the data axis — sharded partial segment-sums; GSPMD adds the psum.
+        No-op on a single device."""
         if self.mesh is None:
             return adj
+        from selfrec_tpu.ops.spmm_ell import EllAdj
+
+        if (isinstance(adj, EllAdj)
+                and self.mesh.shape[mesh_lib.MODEL_AXIS] > 1):
+            from selfrec_tpu.parallel.halo import halo_from_ell
+
+            return halo_from_ell(adj, self.mesh)
         return jax.tree_util.tree_map(
             lambda a: mesh_lib.place_first_dim(a, self.mesh, mesh_lib.DATA_AXIS),
             adj,

@@ -79,13 +79,13 @@ class BUIR(JAXGraphRecommender):
         )
 
     def batch_loss(self, params, batch, key):
-        from selfrec_tpu.ops.spmm_ell import EllAdj, ell_spmm_packed
+        from selfrec_tpu.ops.graph import spmm_packed, supports_packed
 
         k_on, k_tg = jax.random.split(key)
         aux = batch["aux"]
         t_user = jax.lax.stop_gradient(aux["t_user"])
         t_item = jax.lax.stop_gradient(aux["t_item"])
-        if isinstance(self.adj, EllAdj):
+        if supports_packed(self.adj):
             # online + target chains share the adjacency LAYOUT and differ
             # only in their dropout draws -> one packed width-2D gather
             # chain (ops/spmm_ell.ell_spmm_packed)
@@ -101,7 +101,7 @@ class BUIR(JAXGraphRecommender):
             x = jnp.concatenate([on_ego, tg_ego], axis=1)
             acc = x  # include_layer0 (BUIR.py:137-141)
             for _ in range(self.n_layers):
-                x = ell_spmm_packed(self.adj, w_stack, x, 2)
+                x = spmm_packed(self.adj, w_stack, x, 2)
                 acc = acc + x
             out = acc / (self.n_layers + 1)
             d = self.emb_size

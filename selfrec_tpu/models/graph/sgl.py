@@ -128,7 +128,7 @@ class SGL(JAXGraphRecommender):
 
     # -- loss ----------------------------------------------------------------
     def batch_loss(self, params, batch, key):
-        from selfrec_tpu.ops.spmm_ell import ell_spmm_packed
+        from selfrec_tpu.ops.graph import spmm_packed
 
         # clean graph + the two dropped views share the template's ELL
         # layout (only weights differ), so the 3 propagation chains run as
@@ -139,7 +139,7 @@ class SGL(JAXGraphRecommender):
         x = jnp.concatenate([ego, ego, ego], axis=1)
         acc = x  # include_layer0=True (SGL.py:100-111)
         for _ in range(self.n_layers):
-            x = ell_spmm_packed(self._view_template, w_stack, x, 3)
+            x = spmm_packed(self._view_template, w_stack, x, 3)
             acc = acc + x
         out = acc / (self.n_layers + 1)
         d = self.emb_size

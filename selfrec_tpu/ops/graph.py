@@ -58,18 +58,45 @@ def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
     """Sparse (adjacency) @ dense (embeddings).
 
     Dispatches on layout: EllAdj takes the gather-only row-split fast path
-    (ops/spmm_ell.py — the TPU hot path); NormAdj falls back to gather +
-    segment-sum (still used for dynamically re-normalized views and by the
-    KNN co-occurrence blocks)."""
+    (ops/spmm_ell.py — the TPU hot path); HaloAdj the sharded halo-exchange
+    kernel (parallel/halo.py — model-axis row-sharded tables); NormAdj falls
+    back to gather + segment-sum (still used for dynamically re-normalized
+    views and by the KNN co-occurrence blocks)."""
     from selfrec_tpu.ops.spmm_ell import EllAdj, ell_spmm
+    from selfrec_tpu.parallel.halo import HaloAdj, halo_spmm
 
     if isinstance(adj, EllAdj):
         return ell_spmm(adj, x)
+    if isinstance(adj, HaloAdj):
+        return halo_spmm(adj, x)
     contrib = x[adj.src] * adj.w[:, None]
     return jax.ops.segment_sum(
         contrib, adj.dst, num_segments=adj.n_nodes,
         indices_are_sorted=adj.sorted_by_dst,
     )
+
+
+def spmm_packed(adj, w_edge_stack: jnp.ndarray, x: jnp.ndarray,
+                n_passes: int) -> jnp.ndarray:
+    """P propagation passes sharing one layout, packed into one gather chain
+    (x is (n, P*D); ``w_edge_stack`` (P, E) per-pass weights in original edge
+    order). Dispatches EllAdj -> ell_spmm_packed, HaloAdj -> sharded halo
+    kernel. See spmm_ell.py's packing rationale (latency-bound gathers)."""
+    from selfrec_tpu.ops.spmm_ell import EllAdj, ell_spmm_packed
+    from selfrec_tpu.parallel.halo import HaloAdj, halo_spmm_packed
+
+    if isinstance(adj, EllAdj):
+        return ell_spmm_packed(adj, w_edge_stack, x, n_passes)
+    if isinstance(adj, HaloAdj):
+        return halo_spmm_packed(adj, w_edge_stack, x, n_passes)
+    raise TypeError(f"packed SpMM needs a shared layout, got {type(adj)}")
+
+
+def supports_packed(adj) -> bool:
+    from selfrec_tpu.ops.spmm_ell import EllAdj
+    from selfrec_tpu.parallel.halo import HaloAdj
+
+    return isinstance(adj, (EllAdj, HaloAdj))
 
 
 def lightgcn_propagate(
@@ -264,8 +291,9 @@ def adj_dropout(adj, key: jax.Array, rate):
     per ORIGINAL edge and reweights both directions consistently.
     """
     from selfrec_tpu.ops.spmm_ell import EllAdj
+    from selfrec_tpu.parallel.halo import HaloAdj
 
-    if isinstance(adj, EllAdj):
+    if isinstance(adj, (EllAdj, HaloAdj)):
         keep = jax.random.uniform(key, adj.edge_w.shape) >= rate
         return adj.reweight(jnp.where(keep, adj.edge_w / (1.0 - rate), 0.0))
     keep = jax.random.uniform(key, adj.w.shape) >= rate
