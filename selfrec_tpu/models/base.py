@@ -571,8 +571,8 @@ class SequentialRecommender(_FastEvalMixin, Recommender):
         seq, pos, seq_len = self.data.padded_test_arrays(self.max_len)
         n = seq.shape[0]
         bs = self.batch_size
-        rec_list: Dict[str, list] = {}
         predict = self._predict_jit
+        ids_blocks, score_blocks = [], []
         for b0 in range(0, n, bs):
             s, p, sl = seq[b0 : b0 + bs], pos[b0 : b0 + bs], seq_len[b0 : b0 + bs]
             valid = s.shape[0]
@@ -585,15 +585,29 @@ class SequentialRecommender(_FastEvalMixin, Recommender):
                 predict(self.params, jnp.asarray(s), jnp.asarray(p), jnp.asarray(sl)),
                 self.max_N,
             )
-            ids = np.asarray(ids)
-            scores = np.asarray(scores)
-            for r in range(valid):
-                name = self.data.original_seq[b0 + r][0]
-                rec_list[name] = [
-                    (self.data.id2item[int(i)], float(sc))
-                    for i, sc in zip(ids[r], scores[r])
-                    if 0 < int(i) <= self.data.item_num
-                ]
+            ids_blocks.append(np.asarray(ids)[:valid])
+            score_blocks.append(np.asarray(scores)[:valid])
+        ids = np.concatenate(ids_blocks)
+        scores = np.asarray(np.concatenate(score_blocks), dtype=np.float64)
+        # pad/oov ids are filtered AFTER top-k, so lists may be short
+        # (reference quirk, base/seq_recommender.py:47-50); bulk-translate
+        # names then compress per row
+        keep = (ids > 0) & (ids <= self.data.item_num)
+        item_names = ranking._cached_names(
+            self.data, "_item_names_arr", self.data.id2item,
+            self.data.item_num + 1)
+        name_rows = item_names[np.where(keep, ids, 0)].tolist()
+        score_rows = scores.tolist()
+        keep_rows = keep.tolist()
+        rec_list: Dict[str, list] = {}
+        for r in range(n):
+            name = self.data.original_seq[r][0]
+            kr = keep_rows[r]
+            rec_list[name] = [
+                (nm, sc)
+                for nm, sc, kp in zip(name_rows[r], score_rows[r], kr)
+                if kp
+            ]
         return rec_list
 
     def evaluate(self, rec_list):

@@ -169,10 +169,11 @@ def ssm_loss(user_emb, pos_item_emb, neg_item_emb, mask=None):
 
 def bpr_loss_sum(user_emb, pos_item_emb, neg_item_emb, mask=None):
     """TF-variant BPR that sums instead of averaging (reference
-    util/loss_tf.py:4-7), used by the social models (MHCN/SEPT)."""
+    util/loss_tf.py:4-7, incl. its ``10e-8`` epsilon inside the log), used by
+    the social models (MHCN/SEPT)."""
     pos_score = jnp.sum(user_emb * pos_item_emb, axis=-1)
     neg_score = jnp.sum(user_emb * neg_item_emb, axis=-1)
-    loss = -jnp.log(jax.nn.sigmoid(pos_score - neg_score) + 1e-9)
+    loss = -jnp.log(jax.nn.sigmoid(pos_score - neg_score) + 10e-8)
     if mask is not None:
         loss = loss * mask.astype(loss.dtype)
     return jnp.sum(loss)

@@ -126,3 +126,51 @@ def synth_graph_triples(
     train = [(f"u{u}", f"i{i}", 1.0) for u, i in zip(tr_u, tr_i)]
     test = [(f"u{u}", f"i{i}", 1.0) for u, i in zip(te_u, te_i)]
     return train, test
+
+
+# douban-book marginals (MHCN paper, Table 1): the social-model benchmark
+# scale — its train/trust files are stripped from the reference mount too.
+DOUBAN_USERS = 13024
+DOUBAN_ITEMS = 22347
+DOUBAN_INTERACTIONS = 792062
+DOUBAN_RELATIONS = 169150
+
+
+def synth_social_triples(
+    n_users: int = DOUBAN_USERS,
+    n_relations: int = DOUBAN_RELATIONS,
+    seed: int = 1237,
+):
+    """Directed trust triples over the synthetic user population, follower
+    counts Zipf-like (social graphs are heavier-tailed than interactions)."""
+    rng = np.random.default_rng(seed)
+    pop = 1.0 / np.arange(1, n_users + 1) ** 1.0
+    pop /= pop.sum()
+    src = rng.integers(0, n_users, size=int(n_relations * 1.1))
+    dst = rng.choice(n_users, size=len(src), p=pop)
+    keep = src != dst
+    src, dst = src[keep][:n_relations], dst[keep][:n_relations]
+    return [(f"u{u}", f"u{v}", 1.0) for u, v in zip(src, dst)]
+
+
+def synth_sequences(
+    n_seqs: int = 22363,
+    n_items: int = 12101,
+    mean_len: float = 8.8,
+    seed: int = 77,
+):
+    """(train, test) dicts in the in-memory sequential format, with
+    amazon-beauty's marginals by default (the reference's own sequential
+    benchmark dataset, /root/reference/dataset/amazon-beauty)."""
+    rng = np.random.default_rng(seed)
+    lens = np.clip(
+        rng.lognormal(mean=np.log(mean_len), sigma=0.6, size=n_seqs), 3, 200
+    ).astype(np.int64)
+    pop = 1.0 / np.arange(1, n_items + 1) ** 0.8
+    pop /= pop.sum()
+    train, test = {}, {}
+    for s in range(n_seqs):
+        items = rng.choice(n_items, size=lens[s] + 1, p=pop)
+        train[f"s{s}"] = [f"i{i}" for i in items[:-1]]
+        test[f"s{s}"] = [f"i{items[-1]}"]
+    return train, test
