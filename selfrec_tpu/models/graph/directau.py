@@ -46,13 +46,16 @@ class DirectAU(JAXGraphRecommender):
         u = user_all[batch["u"]]
         p = item_all[batch["i"]]
         mask = batch["mask"]
-        # Padded rows are masked out of alignment; uniformity runs over the
-        # full fixed-size batch (pad rows occur only in the final short batch
-        # of an epoch — negligible, and static shapes keep one compiled
-        # kernel).
+        # Pad rows are masked out of BOTH terms. Unmasked uniformity over the
+        # epoch's padded final batch is off by +89% (pad slots duplicate row 0
+        # → zero-distance pairs dominate the logsumexp; quantified in
+        # tests/test_untested_surfaces.py), so pair-masking is required for
+        # parity with the reference's exact-size torch.pdist
+        # (DirectAU.py:42-45). Static shapes keep one compiled kernel.
         align = losses.alignment_loss_masked(u, p, mask)
         uniform = 0.5 * self.gamma * (
-            losses.uniformity_loss(u) + losses.uniformity_loss(p)
+            losses.uniformity_loss_masked(u, mask)
+            + losses.uniformity_loss_masked(p, mask)
         )
         reg = losses.l2_reg_loss(self.reg, u, p, mask=mask) / self.batch_size
         return align + uniform + reg
