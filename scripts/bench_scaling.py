@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--users", type=int, default=8000)
     ap.add_argument("--items", type=int, default=12000)
     ap.add_argument("--interactions", type=int, default=200000)
+    ap.add_argument("--max-devices", type=int, default=0,
+                    help="cap mesh size (virtual-CPU runs deadlock when "
+                    "devices exceed physical cores: blocking collective "
+                    "participants can starve the host thread pool)")
+    ap.add_argument("--dp-only", action="store_true",
+                    help="pure data-parallel meshes (model axis = 1)")
     args = ap.parse_args()
 
     if args.virtual:
@@ -52,7 +58,8 @@ def main():
     )
 
     results = []
-    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
+    cap = args.max_devices or n_dev
+    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= min(n_dev, cap)]
     for n in sizes:
         conf = {
             "training.set": "<synth>",
@@ -70,7 +77,7 @@ def main():
             "seed": 0,
         }
         if n > 1:
-            n_model = 2 if n % 2 == 0 else 1
+            n_model = 1 if args.dp_only else (2 if n % 2 == 0 else 1)
             conf["mesh"] = {"data": n // n_model, "model": n_model}
         model = get_model_class("SimGCL")(ModelConf(conf), train, test)
         model.build()

@@ -122,11 +122,19 @@ import os
 #         A/B per platform via SELFREC_TPU_ELL_MODE.
 _ELL_MODE = os.environ.get("SELFREC_TPU_ELL_MODE", "einsum")
 
+# The einsum mode materializes the (V*K, D) gather in HBM. Dense auxiliary
+# graphs (MHCN's motif adjacencies reach V*K ≈ 38M at douban scale) push
+# that past device memory (observed: a 19.4GB fusion output OOM'ing a 16GB
+# v5e). Above this byte budget the virtual rows are processed in a
+# sequential lax.map over equal chunks — same math, bounded intermediate.
+_CHUNK_BYTES = int(os.environ.get("SELFREC_TPU_ELL_CHUNK_BYTES", 2**30))
+
 
 def _ell_apply(layout: EllLayout, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     from selfrec_tpu.ops.precision import compute_dtype
 
     v, k = layout.vdst.shape[0], layout.k
+    d = x.shape[-1]
     dt = compute_dtype()
     src = x if dt is None else x.astype(dt)
     ww = w if dt is None else w.astype(dt)
@@ -140,10 +148,30 @@ def _ell_apply(layout: EllLayout, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray
                 src[col] * ww[:, kk, None]
             ).astype(jnp.float32)
     else:
-        g = src[layout.vidx].reshape(v, k, x.shape[-1])
-        partial = jnp.einsum(
-            "vk,vkd->vd", ww, g, preferred_element_type=jnp.float32
-        )
+        gather_bytes = v * k * d * jnp.dtype(src.dtype).itemsize
+        if gather_bytes > _CHUNK_BYTES:
+            n_chunks = -(-gather_bytes // _CHUNK_BYTES)
+            vc = -(-v // n_chunks)
+            n_chunks = -(-v // vc)
+            vpad = n_chunks * vc
+            vidx2 = jnp.pad(layout.vidx, (0, (vpad - v) * k)).reshape(
+                n_chunks, vc * k
+            )
+            w2 = jnp.pad(ww, ((0, vpad - v), (0, 0))).reshape(n_chunks, vc, k)
+
+            def chunk(args):
+                vi, wc = args
+                g = src[vi].reshape(vc, k, d)
+                return jnp.einsum(
+                    "vk,vkd->vd", wc, g, preferred_element_type=jnp.float32
+                )
+
+            partial = jax.lax.map(chunk, (vidx2, w2)).reshape(vpad, d)[:v]
+        else:
+            g = src[layout.vidx].reshape(v, k, d)
+            partial = jnp.einsum(
+                "vk,vkd->vd", ww, g, preferred_element_type=jnp.float32
+            )
     return jax.ops.segment_sum(
         partial, layout.vdst, num_segments=layout.n_rows, indices_are_sorted=True
     )
@@ -254,10 +282,32 @@ def _ell_apply_packed(layout: EllLayout, w_stack: jnp.ndarray, x: jnp.ndarray,
     dt = compute_dtype()
     src = x if dt is None else x.astype(dt)
     ww = w_stack if dt is None else w_stack.astype(dt)
-    g = src[layout.vidx].reshape(v, k, p, d)
-    partial = jnp.einsum(
-        "pvk,vkpd->vpd", ww, g, preferred_element_type=jnp.float32
-    ).reshape(v, p * d)
+    gather_bytes = v * k * p * d * jnp.dtype(src.dtype).itemsize
+    if gather_bytes > _CHUNK_BYTES:
+        # bounded-intermediate path; see _ell_apply
+        n_chunks = -(-gather_bytes // _CHUNK_BYTES)
+        vc = -(-v // n_chunks)
+        n_chunks = -(-v // vc)
+        vpad = n_chunks * vc
+        vidx2 = jnp.pad(layout.vidx, (0, (vpad - v) * k)).reshape(
+            n_chunks, vc * k
+        )
+        w2 = jnp.pad(ww, ((0, 0), (0, vpad - v), (0, 0))).transpose(1, 0, 2)
+        w2 = w2.reshape(n_chunks, vc, p, k)
+
+        def chunk(args):
+            vi, wc = args
+            g = src[vi].reshape(vc, k, p, d)
+            return jnp.einsum(
+                "vpk,vkpd->vpd", wc, g, preferred_element_type=jnp.float32
+            ).reshape(vc, p * d)
+
+        partial = jax.lax.map(chunk, (vidx2, w2)).reshape(vpad, p * d)[:v]
+    else:
+        g = src[layout.vidx].reshape(v, k, p, d)
+        partial = jnp.einsum(
+            "pvk,vkpd->vpd", ww, g, preferred_element_type=jnp.float32
+        ).reshape(v, p * d)
     return jax.ops.segment_sum(
         partial, layout.vdst, num_segments=layout.n_rows, indices_are_sorted=True
     )
