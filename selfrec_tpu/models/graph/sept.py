@@ -30,6 +30,8 @@ from selfrec_tpu.ops.graph import (
     build_bipartite_ell_template,
     norm_adj_from_scipy,
     spmm,
+    spmm_packed,
+    union_ell_template,
 )
 from selfrec_tpu.ops.init import xavier_uniform
 from selfrec_tpu.ops.losses import l2_normalize
@@ -39,6 +41,12 @@ SS_TEMP = 0.1  # hardcoded in reference SEPT.py:130-131
 
 
 class SEPT(JAXGraphRecommender):
+    # large static device pytrees read inside batch_loss — threaded through
+    # the jitted epoch as scan-invariant arguments (see base epoch_fn)
+    scan_const_attrs = JAXGraphRecommender.scan_const_attrs + (
+        "_view_template", "_w_rec", "_social_template", "_social_w_stack",
+    )
+
     def __init__(self, conf, training_set, test_set, **kwargs):
         super().__init__(conf, training_set, test_set, **kwargs)
         args = conf[self.model_name] if conf.contain(self.model_name) else {}
@@ -54,8 +62,15 @@ class SEPT(JAXGraphRecommender):
             self.data.user_num,
         )
         self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
-        self.social_adj = self.shard_adj(norm_adj_from_scipy(social_view))
-        self.sharing_adj = self.shard_adj(norm_adj_from_scipy(sharing_view))
+        # friend + sharing views packed over their UNION layout: both
+        # patterns are (·)⊙S + I (SEPT.py:33-40), so the union costs barely
+        # more slots than one view while halving the gather-chain count
+        # (the TPU gather is per-slot-bound, BASELINE.md round 2).
+        social_template, social_w = union_ell_template(
+            [social_view, sharing_view]
+        )
+        self._social_template = self.shard_adj(social_template)
+        self._social_w_stack = social_w
         self._edge_users_dev = jnp.asarray(self.data.edge_users)
         self._edge_items_dev = jnp.asarray(self.data.edge_items)
         self._view_template = self.shard_adj(
@@ -65,6 +80,16 @@ class SEPT(JAXGraphRecommender):
                 self.data.user_num,
                 self.data.item_num,
             )
+        )
+        # static clean-graph weights in the template's edge order — equal to
+        # data.norm_adj's values, letting the rec chain share the template's
+        # layout with the per-epoch augmented view (packed in batch_loss)
+        self._w_rec = bipartite_renorm_weights(
+            self._edge_users_dev,
+            self._edge_items_dev,
+            jnp.ones(self.data.n_edges, dtype=bool),
+            self.data.user_num,
+            self.data.item_num,
         )
         self._joint_phase = False
 
@@ -91,6 +116,23 @@ class SEPT(JAXGraphRecommender):
             e = l2_normalize(spmm(adj, e))
             total = total + e
         return total
+
+    def _encode_packed(self, template, w_stack, embs):
+        """P parallel sum-of-normalized-hop encodes sharing one ELL layout,
+        run as one width-P*D gather chain. Exactly _encode per slice (the
+        per-hop l2_normalize applies slice-wise)."""
+        p = len(embs)
+        d = embs[0].shape[1]
+        x = jnp.concatenate(embs, axis=1)
+        total = x
+        for _ in range(self.n_layers):
+            x = spmm_packed(template, w_stack, x, p)
+            x = jnp.concatenate(
+                [l2_normalize(x[:, i * d : (i + 1) * d]) for i in range(p)],
+                axis=1,
+            )
+            total = total + x
+        return [total[:, i * d : (i + 1) * d] for i in range(p)]
 
     def _rec_embeddings(self, params, adj=None):
         ego = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
@@ -132,7 +174,7 @@ class SEPT(JAXGraphRecommender):
             self.data.user_num,
             self.data.item_num,
         )
-        return {"aug_adj": self._view_template.reweight(w)}
+        return {"aug_w": w}
 
     # -- tri-training ---------------------------------------------------------
     def _label_prediction(self, view_emb, aug_emb, col_mask):
@@ -152,21 +194,41 @@ class SEPT(JAXGraphRecommender):
         per = -jnp.log(pos_score / jnp.maximum(ttl_score, 1e-12))
         return jnp.sum(jnp.where(valid, per, 0.0))
 
-    def batch_loss(self, params, batch, key):
-        rec_user, rec_item = self._rec_embeddings(params)
+    def _rec_loss(self, params, rec_user, rec_item, batch):
         u = rec_user[batch["u"]]
         p = rec_item[batch["i"]]
         n = rec_item[batch["j"]]
-        mask = batch["mask"]
-        rec = losses.bpr_loss_sum(u, p, n, mask=mask)
+        rec = losses.bpr_loss_sum(u, p, n, mask=batch["mask"])
         l2 = lambda x: 0.5 * jnp.sum(x * x)
-        rec = rec + self.reg * (l2(params["user_emb"]) + l2(params["item_emb"]))
-        if not self._joint_phase:
-            return rec
+        return rec + self.reg * (l2(params["user_emb"]) + l2(params["item_emb"]))
 
-        aug_user, _ = self._rec_embeddings(params, adj=batch["aux"]["aug_adj"])
-        friend = self._encode(self.social_adj, params["user_emb"])
-        sharing = self._encode(self.sharing_adj, params["user_emb"])
+    def batch_loss(self, params, batch, key):
+        if not self._joint_phase:
+            rec_user, rec_item = self._rec_embeddings(params)
+            return self._rec_loss(params, rec_user, rec_item, batch)
+
+        # Joint phase runs 4 propagation chains per batch in the reference
+        # formulation (rec, augmented, friend, sharing — SEPT.py:137-155).
+        # Here they run as 2 packed gather chains (the TPU gather is
+        # per-slot-bound, BASELINE.md round 2): rec+augmented share the
+        # bipartite template's layout (weights differ: clean norm weights
+        # vs the epoch's dropped renorm), friend+sharing share their union
+        # layout. Eval and the warm phase keep the plain self.adj chain.
+        mask = batch["mask"]
+        ego = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
+        w_stack = jnp.stack([self._w_rec, batch["aux"]["aug_w"]])
+        rec_all, aug_all = self._encode_packed(
+            self._view_template, w_stack, [ego, ego]
+        )
+        nu = self.data.user_num
+        rec_user, rec_item = rec_all[:nu], rec_all[nu:]
+        rec = self._rec_loss(params, rec_user, rec_item, batch)
+        aug_user = aug_all[:nu]
+        friend, sharing = self._encode_packed(
+            self._social_template,
+            self._social_w_stack,
+            [params["user_emb"], params["user_emb"]],
+        )
 
         valid_rows = mask.astype(bool)
         uniq, uniq_mask = unique_with_mask(

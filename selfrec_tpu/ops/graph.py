@@ -197,6 +197,49 @@ def build_bipartite_ell_template(
     return ell_adj_from_edges(src, dst, w, n_rows=n_users + n_items, k=k)
 
 
+def union_ell_template(mats, k: int = 16):
+    """One shared ELL layout over the UNION sparsity pattern of several
+    same-shape scipy matrices + the (P, E_union) per-view weight stack in
+    the template's original edge order.
+
+    Views missing a union edge carry weight 0 in that slot, so
+    :func:`spmm_packed` runs all P propagations as ONE gather chain. Wins
+    whenever patterns overlap heavily — SEPT's friend/sharing views are
+    both ``(·)⊙S + I`` patterns (reference SEPT.py:33-40), so their union
+    is barely larger than either alone, and the TPU gather is per-slot-
+    bound (BASELINE.md round-2 cost model: ~1.5ns/slot fixed, bytes nearly
+    free at these widths).
+
+    Returns (template: EllAdj with all-ones weights, w_stack: (P, E) jnp).
+    """
+    import numpy as np
+    import scipy.sparse as sp
+
+    from selfrec_tpu.ops.spmm_ell import ell_adj_from_edges
+
+    n_rows, n_cols = mats[0].shape
+    union = None
+    for m in mats:
+        assert m.shape == (n_rows, n_cols)
+        pat = m.tocoo()
+        pat = sp.coo_matrix(
+            (np.ones(pat.nnz, np.float32), (pat.row, pat.col)),
+            shape=m.shape,
+        )
+        union = pat if union is None else union + pat
+    union = union.tocoo()
+    rows, cols = union.row.astype(np.int32), union.col.astype(np.int32)
+    w_stack = np.stack(
+        [np.asarray(m.tocsr()[rows, cols]).ravel().astype(np.float32)
+         for m in mats]
+    )
+    template = ell_adj_from_edges(
+        cols, rows, np.ones(len(rows), np.float32),
+        n_rows=n_rows, n_cols=n_cols, k=k,
+    )
+    return template, jnp.asarray(w_stack)
+
+
 def fused_simgcl_propagate(
     adj,
     ego: jnp.ndarray,

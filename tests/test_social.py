@@ -101,3 +101,60 @@ def test_sept_end_to_end(tiny_social_dataset):
     )
     assert model._joint_phase  # tri-training ran
     assert perf["Recall"] > 0.2
+
+
+def test_sept_packed_encode_equivalence(tiny_social_dataset):
+    """The packed formulations must equal the unpacked reference math:
+    (a) union-layout friend+sharing == per-adjacency _encode,
+    (b) bipartite template + static clean weights == the scipy norm_adj
+        chain used by eval/warm phase."""
+    import jax.numpy as jnp
+
+    from selfrec_tpu.data.motifs import sept_views
+    from selfrec_tpu.ops.graph import norm_adj_from_scipy
+
+    train, test, relations = tiny_social_dataset
+    conf = ModelConf(
+        {
+            "training.set": "<memory>",
+            "test.set": "<memory>",
+            "social.data": "<memory>",
+            "model": {"name": "SEPT", "type": "graph"},
+            "item.ranking.topN": [5],
+            "embedding.size": 16,
+            "max.epoch": 3,
+            "batch.size": 64,
+            "learning.rate": 0.05,
+            "reg.lambda": 0.0001,
+            "output": "/tmp/selfrec_tpu_test_results/",
+            "seed": 7,
+        }
+    )
+    model = get_model_class("SEPT")(conf, train, test, **{"social.data": relations})
+    model.build()
+
+    social_view, sharing_view = sept_views(
+        model.social_data.get_birectional_social_mat(),
+        model.data.interaction_mat,
+        model.data.user_num,
+    )
+    u_emb = model.params["user_emb"]
+    # (a) packed vs separate
+    friend_p, sharing_p = model._encode_packed(
+        model._social_template, model._social_w_stack, [u_emb, u_emb]
+    )
+    friend_s = model._encode(norm_adj_from_scipy(social_view), u_emb)
+    sharing_s = model._encode(norm_adj_from_scipy(sharing_view), u_emb)
+    np.testing.assert_allclose(
+        np.asarray(friend_p), np.asarray(friend_s), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sharing_p), np.asarray(sharing_s), rtol=1e-5, atol=1e-5)
+
+    # (b) template + clean weights == scipy norm_adj chain
+    ego = jnp.concatenate(
+        [model.params["user_emb"], model.params["item_emb"]], axis=0)
+    (rec_p,) = model._encode_packed(
+        model._view_template, jnp.reshape(model._w_rec, (1, -1)), [ego])
+    rec_s = model._encode(model.adj, ego)
+    np.testing.assert_allclose(
+        np.asarray(rec_p), np.asarray(rec_s), rtol=1e-5, atol=1e-5)

@@ -325,12 +325,17 @@ def test_sept_encoder_and_views_oracle(sept_model):
                       np.float32)
     Y = np.asarray(m.data.interaction_mat.todense(), np.float32)
     social_v, sharing_v = np_sept_views(S_bi, Y, nu)
+    # the packed union-layout encode (the production joint-phase path) must
+    # match the numpy port of the reference per-view encoders
+    friend_got, sharing_got = m._encode_packed(
+        m._social_template, m._social_w_stack,
+        [m.params["user_emb"], m.params["user_emb"]])
     np.testing.assert_allclose(
-        np.asarray(m._encode(m.social_adj, m.params["user_emb"])),
+        np.asarray(friend_got),
         np_sept_encode(social_v, p["user_emb"], m.n_layers),
         rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(
-        np.asarray(m._encode(m.sharing_adj, m.params["user_emb"])),
+        np.asarray(sharing_got),
         np_sept_encode(sharing_v, p["user_emb"], m.n_layers),
         rtol=2e-4, atol=2e-5)
 
@@ -348,15 +353,13 @@ def test_sept_joint_loss_oracle(sept_model):
     w = bipartite_renorm_weights(
         m._edge_users_dev, m._edge_items_dev, jnp.asarray(keep),
         m.data.user_num, m.data.item_num)
-    aug_adj = m._view_template.reweight(w)
-
     bs = m.batch_size
     u = rng.integers(0, m.data.user_num, bs)
     u[3] = u[0]  # exercise dedup (tf.unique, SEPT.py:99)
     i = rng.integers(0, m.data.item_num, bs)
     j = rng.integers(0, m.data.item_num, bs)
     batch = {"u": jnp.asarray(u), "i": jnp.asarray(i), "j": jnp.asarray(j),
-             "mask": jnp.ones(bs, np.float32), "aux": {"aug_adj": aug_adj}}
+             "mask": jnp.ones(bs, np.float32), "aux": {"aug_w": w}}
     was_joint = m._joint_phase
     m._joint_phase = True
     try:
