@@ -159,3 +159,50 @@ def test_sharded_topk_matches_dense(tiny_graph_dataset):
         np.testing.assert_allclose(
             [s for _, s in rl_sharded[u]], [s for _, s in rl_dense[u]], rtol=1e-5
         )
+
+
+def test_sept_sharded_joint_matches_unsharded(tiny_graph_dataset):
+    """SEPT's packed joint phase under a (2,2) mesh: the union-layout
+    friend+sharing chain and the template rec+aug chain become HaloAdj
+    packed kernels via shard_adj — losses must match the single-device run
+    (covers halo_spmm_packed inside a full training step)."""
+    rng = np.random.default_rng(5)
+    train, test = tiny_graph_dataset
+    relations = []
+    for u in range(40):
+        g = u % 4
+        peers = [v for v in range(40) if v % 4 == g and v != u]
+        for v in rng.choice(peers, size=3, replace=False):
+            relations.append((f"u{u}", f"u{v}", 1.0))
+
+    def run(mesh):
+        conf_d = {
+            "training.set": "<memory>",
+            "test.set": "<memory>",
+            "social.data": "<memory>",
+            "model": {"name": "SEPT", "type": "graph"},
+            "item.ranking.topN": [5],
+            "embedding.size": 16,
+            "max.epoch": 6,
+            "batch.size": 64,
+            "learning.rate": 0.05,
+            "reg.lambda": 0.0001,
+            "SEPT": {"n_layer": 2, "ss_rate": 0.005, "drop_rate": 0.3,
+                     "ins_cnt": 5},
+            "output": "/tmp/selfrec_tpu_test_results/",
+            "seed": 42,
+        }
+        if mesh:
+            conf_d["mesh"] = mesh
+        model = get_model_class("SEPT")(
+            ModelConf(conf_d), train, test, **{"social.data": relations})
+        model.build()
+        losses = []
+        for e in range(6):  # crosses the epoch-2 joint boundary
+            losses.append(np.asarray(model.run_epoch(e)))
+        assert model._joint_phase
+        return np.concatenate(losses)
+
+    single = run(None)
+    sharded = run({"data": 2, "model": 2})
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-4)
