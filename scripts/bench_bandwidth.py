@@ -1,26 +1,29 @@
 #!/usr/bin/env python
-"""HBM-bandwidth accounting + Pallas A/B for the ELL SpMM hot path
-(VERDICT round-1 item 1).
+"""HBM-bandwidth accounting for the ELL SpMM hot path (VERDICT round-1
+item 1; full analysis in BASELINE.md round-2 section).
 
-Builds the yelp2018-scale normalized bipartite adjacency (the SimGCL hot
-op's exact shape), then times isolated jitted pieces on the current
-platform and reports achieved application-level HBM bytes/s against the
-v5e peak (819 GB/s):
+IMPORTANT methodology: a single isolated ``jit`` dispatch of these ops
+costs ~5x its steady-state in-scan time (57ms vs 11ms at D=64 on the
+axon-tunneled v5e; RTT is only 0.1ms). Every op here is therefore timed
+as REPS iterations inside ONE ``lax.fori_loop`` under one jit call —
+matching how the op runs inside the real epoch scan.
 
-- ``gather``        : x[vidx]            — the raw latency-bound step
-- ``xla_spmm``      : full _ell_apply    — gather + einsum + segment-sum
-- ``xla_packed3``   : width-3D packed apply (the fused-SimGCL inner op)
-- ``pallas_spmm``   : VMEM-resident-table kernel + segment-sum
-- ``pallas_packed3``: same kernel at D=192
+Ops, at the exact yelp2018-scale shape of the SimGCL hot op:
+- ``gather_sum``   : x[vidx] + slot-sum        — the raw gather chain
+- ``xla_spmm``     : full _ell_apply           — gather + einsum + segsum
+- both at D=64 (single chain) and D=192 (fused-SimGCL width)
 
-Byte accounting is app-level minimum useful traffic (each ELL slot must
-read one D-row + write the output once; index/weight reads included).
-Cache reuse can only make true HBM traffic LOWER, so achieved/peak is a
-LOWER bound on memory-system utilization — if it is far below 1 the op is
-latency-bound and a resident-table kernel has headroom.
+The Pallas VMEM-resident-table kernel (ops/spmm_pallas.py) is correctness
+-tested in interpret mode but NOT benchmarked here: every Mosaic
+``dynamic_gather`` lowering crashes or hangs this libtpu's remote
+compiler (see BASELINE.md). Re-add it to this A/B when the toolchain
+catches up.
 
-Writes BANDWIDTH.json at the repo root. Usage:
-    python scripts/bench_bandwidth.py [--cpu] [--k 16] [--d 64]
+Byte accounting is app-level minimum useful traffic; cache reuse can only
+lower true HBM traffic, so achieved/peak is a lower bound on utilization.
+
+Writes BANDWIDTH.json. Usage:
+    python scripts/bench_bandwidth.py [--cpu] [--k 16] [--scale 1.0]
 """
 
 import argparse
@@ -32,32 +35,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V5E_PEAK_GBS = 819.0
+REPS = 20
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed(fn, *args, reps=5):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best, out
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--k", type=int, default=16)
-    ap.add_argument("--d", type=int, default=64)
-    ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--scale", type=float, default=1.0,
                     help="shrink the synthetic graph (CPU smoke testing)")
     args = ap.parse_args()
@@ -68,6 +56,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
+    import scipy.sparse as sp
 
     from selfrec_tpu.ops import spmm_ell
     from selfrec_tpu.utils.synth import (
@@ -76,17 +65,12 @@ def main():
 
     dev = jax.devices()[0]
     log("device:", dev)
-    platform = dev.platform
 
     n_users = max(int(YELP2018_USERS * args.scale), 50)
     n_items = max(int(YELP2018_ITEMS * args.scale), 60)
     tu, ti, _, _ = synth_graph_arrays(
         n_users, n_items, max(int(1561406 * args.scale), 500))
     n = n_users + n_items
-    # symmetric normalized bipartite edges (both directions), like
-    # Interaction.norm_adj feeding norm_adj_from_scipy
-    import scipy.sparse as sp
-
     r = sp.coo_matrix(
         (np.ones(len(tu), np.float32), (tu, ti)), shape=(n_users, n_items)
     )
@@ -97,17 +81,33 @@ def main():
 
     layout, _ = spmm_ell.build_ell_layout(adj.col, adj.row, n, k=args.k)
     w_ell = spmm_ell.ell_weights(layout, jnp.asarray(w))
-    v, k, d = layout.vdst.shape[0], args.k, args.d
-    log(f"graph: n={n} nnz={adj.nnz} V={v} K={k} D={d}")
+    v, k = layout.vdst.shape[0], args.k
+    log(f"graph: n={n} nnz={adj.nnz} V={v} K={k}")
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
-    x3 = jnp.asarray(rng.normal(size=(n, 3 * d)).astype(np.float32))
+    def timed(fn, *a, reps=3):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    results = {"platform": platform, "n": n, "nnz": int(adj.nnz), "V": v,
-               "K": k, "D": d, "ops": {}}
+    def inloop(stage_fn, x0):
+        @jax.jit
+        def f(x):
+            def body(_, acc):
+                return stage_fn(acc) * 0.999  # defeat loop-invariant hoist
+            return jax.lax.fori_loop(0, REPS, body, x)
 
-    def record(name, dt, bytes_min, extra=None):
+        return timed(f, x0) / REPS
+
+    results = {"platform": dev.platform, "n": n, "nnz": int(adj.nnz),
+               "V": v, "K": k, "reps_in_loop": REPS, "ops": {}}
+
+    def record(name, dt, bytes_min):
         gbs = bytes_min / dt / 1e9
         row = {
             "time_ms": round(dt * 1e3, 3),
@@ -115,79 +115,21 @@ def main():
             "achieved_GBs": round(gbs, 1),
             "pct_of_v5e_peak": round(100 * gbs / V5E_PEAK_GBS, 1),
         }
-        if extra:
-            row.update(extra)
         results["ops"][name] = row
-        log(f"{name:>16}: {row}")
+        log(f"{name:>18}: {row}")
 
-    slot_bytes = 4  # int32 index
-    # --- raw gather ---
-    gather = jax.jit(lambda xx: xx[layout.vidx])
-    dt, _ = timed(gather, x)
-    # reads: V*K rows of D f32 + V*K int32 idx; writes (V*K, D)
-    b = v * k * d * 4 + v * k * slot_bytes + v * k * d * 4
-    record("gather_d64", dt, b)
-
-    # --- full XLA spmm ---
-    spmm1 = jax.jit(lambda xx: spmm_ell._ell_apply(layout, w_ell, xx))
-    dt, out1 = timed(spmm1, x)
-    # minimum useful: read V*K rows + idx + weights, write n_rows out
-    b = v * k * d * 4 + v * k * (slot_bytes + 4) + n * d * 4
-    record("xla_spmm_d64", dt, b)
-
-    # --- packed 3-pass (fused-SimGCL inner op) ---
-    w_stack = jnp.stack([w_ell, w_ell, w_ell])
-    packed = jax.jit(
-        lambda xx: spmm_ell._ell_apply_packed(layout, w_stack, xx, 3)
-    )
-    dt, out3 = timed(packed, x3)
-    b = v * k * 3 * d * 4 + v * k * (slot_bytes + 3 * 4) + n * 3 * d * 4
-    record("xla_packed3_d192", dt, b)
-
-    if not args.no_pallas:
-        from selfrec_tpu.ops.spmm_pallas import PallasEll
-
-        interp = platform != "tpu"
-        pe = PallasEll(layout, w_ell, tile_v=512)
-        try:
-            dt, pout1 = timed(
-                jax.jit(lambda xx: pe.apply(xx, interpret=interp)), x,
-                reps=2 if interp else 5)
-            err = float(jnp.max(jnp.abs(pout1 - out1)))
-            # HBM traffic: table staged once + idx/w + out write
-            b = n * d * 4 + v * k * (slot_bytes + 4) + n * d * 4
-            record("pallas_spmm_d64", dt, b, {"max_abs_err_vs_xla": err})
-        except Exception as e:  # Mosaic lowering may reject; report it
-            log("pallas d64 FAILED:", repr(e)[:500])
-            results["ops"]["pallas_spmm_d64"] = {"error": repr(e)[:500]}
-
-        # packed: one layout, 3 weight planes == weights tiled over a 3D-wide
-        # table; reuse the same kernel with x3 and per-pass weights equal
-        # (w identical across passes here, matching the timing shape only)
-        try:
-            pe3 = PallasEll(layout, w_ell, tile_v=512)
-            dt, pout3 = timed(
-                jax.jit(lambda xx: pe3.apply(xx, interpret=interp)), x3,
-                reps=2 if interp else 5)
-            err = float(jnp.max(jnp.abs(pout3 - out3)))
-            b = n * 3 * d * 4 + v * k * (slot_bytes + 4) + n * 3 * d * 4
-            record("pallas_packed3_d192", dt, b, {"max_abs_err_vs_xla": err})
-        except Exception as e:
-            log("pallas d192 FAILED:", repr(e)[:500])
-            results["ops"]["pallas_packed3_d192"] = {"error": repr(e)[:500]}
-
-        # bf16 table variant (halves resident footprint and gather traffic)
-        try:
-            dt, pout1b = timed(
-                jax.jit(lambda xx: pe.apply(xx.astype(jnp.bfloat16),
-                                            interpret=interp)), x,
-                reps=2 if interp else 5)
-            err = float(jnp.max(jnp.abs(pout1b - out1)))
-            b = n * d * 2 + v * k * (slot_bytes + 4) + n * d * 4
-            record("pallas_spmm_d64_bf16", dt, b, {"max_abs_err_vs_xla": err})
-        except Exception as e:
-            log("pallas bf16 FAILED:", repr(e)[:500])
-            results["ops"]["pallas_spmm_d64_bf16"] = {"error": repr(e)[:500]}
+    rng = np.random.default_rng(0)
+    for d in (64, 192):
+        x = jnp.asarray((rng.normal(size=(n, d)) * 0.01).astype(np.float32))
+        t = inloop(
+            lambda acc, d=d: acc[layout.vidx].reshape(v, k, d).sum(axis=1)[:n],
+            x,
+        )
+        b = v * k * d * 4 + v * k * 4 + n * d * 4
+        record(f"gather_sum_d{d}", t, b)
+        t = inloop(lambda acc: spmm_ell._ell_apply(layout, w_ell, acc), x)
+        b = v * k * d * 4 + v * k * (4 + 4) + n * d * 4
+        record(f"xla_spmm_d{d}", t, b)
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -195,8 +137,8 @@ def main():
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     log("wrote", out_path)
-    print(json.dumps({k2: v2.get("achieved_GBs") for k2, v2 in
-                      results["ops"].items() if "achieved_GBs" in v2}))
+    print(json.dumps({k2: v2["achieved_GBs"] for k2, v2 in
+                      results["ops"].items()}))
 
 
 if __name__ == "__main__":
