@@ -304,26 +304,6 @@ def build_norm_adj_from_mask(
     return NormAdj(src, dst, jnp.concatenate([w, w]), n_users + n_items)
 
 
-def build_norm_adj_square_from_mask(
-    rows: jnp.ndarray,
-    cols: jnp.ndarray,
-    keep: jnp.ndarray,
-    n: int,
-    symmetric_degree: bool = True,
-) -> NormAdj:
-    """On-device D^-1/2 A D^-1/2 for a square edge list (social graphs)."""
-    w_e = keep.astype(jnp.float32)
-    d_out = jax.ops.segment_sum(w_e, rows, num_segments=n)
-    if symmetric_degree:
-        d_in = jax.ops.segment_sum(w_e, cols, num_segments=n)
-    else:
-        d_in = d_out
-    inv_r = jnp.where(d_out > 0, jax.lax.rsqrt(jnp.maximum(d_out, 1e-12)), 0.0)
-    inv_c = jnp.where(d_in > 0, jax.lax.rsqrt(jnp.maximum(d_in, 1e-12)), 0.0)
-    w = w_e * inv_r[rows] * inv_c[cols]
-    return NormAdj(cols, rows, w, n)
-
-
 def adj_dropout(adj, key: jax.Array, rate):
     """Per-step sparse dropout of adjacency entries: keep each edge with
     probability 1-rate, scale kept weights by 1/(1-rate). Matches the

@@ -18,10 +18,6 @@ def xavier_uniform(key, shape, dtype=jnp.float32, gain: float = 1.0):
     return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
-def normal_init(key, shape, std: float = 0.01, dtype=jnp.float32):
-    return std * jax.random.normal(key, shape, dtype)
-
-
 def torch_linear_params(key, in_features: int, out_features: int, dtype=jnp.float32):
     """W (in, out) + b (out,) with torch.nn.Linear's default init:
     kaiming_uniform(a=sqrt(5)) on the weight == U[-1/sqrt(fan_in),

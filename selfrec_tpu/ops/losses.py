@@ -125,13 +125,6 @@ def kl_divergence(p_logit, q_logit):
     return jnp.mean(kl)
 
 
-def alignment_loss(x, y, alpha: int = 2):
-    """DirectAU alignment: mean squared distance of normalized pairs
-    (reference model/graph/DirectAU.py:37-40)."""
-    x, y = l2_normalize(x), l2_normalize(y)
-    return jnp.mean(jnp.sum((x - y) ** 2, axis=-1) ** (alpha / 2))
-
-
 def alignment_loss_masked(x, y, mask=None):
     """Alignment with padded-row masking (fixed-shape batches)."""
     x, y = l2_normalize(x), l2_normalize(y)

@@ -96,27 +96,6 @@ def assemble_rec_list(
     }
 
 
-def batched_full_rank_scores(
-    user_ids: np.ndarray,
-    score_block_fn,
-    rated_offsets: np.ndarray,
-    rated_items: np.ndarray,
-    k: int,
-    block_size: int = 1024,
-):
-    """Like :func:`batched_full_rank` but for models whose full-catalog
-    scores are not a user x item embedding dot product (e.g. KNN):
-    ``score_block_fn(uids (B,)) -> (B, n_items) scores``."""
-    plan = EvalPlan(user_ids, rated_offsets, rated_items, block_size)
-    for b, (uids, rows, cols, valid) in enumerate(plan.blocks):
-        scores = score_block_fn(uids)
-        top_scores, top_ids = topk_scores_masked(scores, rows, cols, k)
-        top_scores = np.asarray(top_scores)
-        top_ids = np.asarray(top_ids)
-        for r in range(valid):
-            yield plan.user_ids[b * plan.block_size + r], top_ids[r], top_scores[r]
-
-
 def rec_list_from_score_fn(
     data, score_block_fn, k: int, block_size: int = 1024
 ) -> Dict[str, List[Tuple[str, float]]]:
