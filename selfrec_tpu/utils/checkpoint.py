@@ -126,7 +126,34 @@ def train_state(model) -> dict:
     return state
 
 
+def _replicate_unsharded(tree, mesh):
+    """Re-place restored leaves that lack a mesh sharding as mesh-replicated.
+
+    A fresh ``jit(optimizer.init)`` leaves scalar leaves (e.g. Adam's
+    ``count``) UNcommitted on the default device, so later mesh-wide jits
+    auto-promote them. Orbax restores the same leaves COMMITTED to the
+    recorded SingleDeviceSharding, and a committed single-device scalar fed
+    into a mesh-wide jit raises "incompatible devices" — the resume-under-
+    mesh bug caught by tests/test_checkpoint.py::test_checkpoint_resume_
+    under_mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    def fix(x):
+        if isinstance(x, jax.Array) and not isinstance(
+            x.sharding, NamedSharding
+        ):
+            return jax.device_put(x, replicated)
+        return x
+
+    return jax.tree_util.tree_map(fix, tree)
+
+
 def apply_train_state(model, state: dict) -> None:
+    mesh = getattr(model, "mesh", None)
+    if mesh is not None:
+        state = _replicate_unsharded(state, mesh)
     model.params = state["params"]
     model.opt_state = state["opt_state"]
     model.key = state["key"]

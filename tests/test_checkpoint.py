@@ -76,3 +76,34 @@ def test_checkpoint_preserves_best_tracking(tiny_graph_dataset, tmp_path):
     np.testing.assert_allclose(
         np.asarray(m2.best_user_emb), np.asarray(m1.best_user_emb)
     )
+
+
+def test_checkpoint_resume_under_mesh(tiny_graph_dataset, tmp_path):
+    """Sharded checkpoint round-trip: a (2,2)-mesh SimGCL run checkpointed
+    at epoch 2 and resumed to 4 matches the continuous 4-epoch mesh run
+    (orbax restores row-sharded tables + opt state with their shardings)."""
+    train, test = tiny_graph_dataset
+    cls = get_model_class("SimGCL")
+
+    def conf(dir_, max_epoch):
+        c = _conf(dir_, max_epoch)
+        c.config["model"]["name"] = "SimGCL"
+        c.config["SimGCL"] = {"n_layer": 2, "lambda": 0.5, "eps": 0.1}
+        c.config["mesh"] = {"data": 2, "model": 2}
+        return c
+
+    m_full = cls(conf(tmp_path / "full", 4), train, test)
+    m_full.build()
+    m_full.train()
+
+    m1 = cls(conf(tmp_path, 2), train, test)
+    m1.build()
+    m1.train()
+    m2 = cls(conf(tmp_path, 4), train, test)
+    m2.build()
+    m2.train()
+    np.testing.assert_allclose(
+        np.asarray(m2.params["user_emb"]),
+        np.asarray(m_full.params["user_emb"]),
+        rtol=2e-3, atol=2e-4,
+    )
