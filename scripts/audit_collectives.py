@@ -51,16 +51,26 @@ def shape_bytes(shape_str: str) -> int:
     return total
 
 
+_COLLECTIVE_RE = re.compile(
+    # '<name> = <shape> <op>(' — shape may be a tuple '(f32[..], f32[..])'
+    # (XLA's all-reduce combiner) and the name may carry a ROOT prefix;
+    # async pairs appear as op-start/op-done (count -start, skip -done to
+    # avoid double counting the same payload).
+    r"=\s+(\([^)]*\)|\S+?)\s+"
+    r"(all-gather|all-reduce|reduce-scatter|all-to-all|collective-permute)"
+    r"(-start|-done)?\("
+)
+
+
 def audit_hlo(hlo_text: str) -> dict:
     counts: dict = {}
     for line in hlo_text.splitlines():
-        ls = line.strip()
-        # output shape precedes '= op-name('
-        m = re.match(r"\S+ = (\S+?) (all-gather|all-reduce|reduce-scatter|"
-                     r"all-to-all|collective-permute)", ls)
+        m = _COLLECTIVE_RE.search(line)
         if not m:
             continue
-        out_shape, op = m.group(1), m.group(2)
+        out_shape, op, suffix = m.group(1), m.group(2), m.group(3)
+        if suffix == "-done":
+            continue
         b = shape_bytes(out_shape)
         rec = counts.setdefault(op, {"count": 0, "bytes": 0, "largest": 0,
                                      "largest_shape": ""})

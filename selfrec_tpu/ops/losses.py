@@ -161,10 +161,17 @@ def uniformity_loss_masked(x, mask, t: int = 2):
     pair_d2 = d2[iu]
     m = mask.astype(x.dtype)
     pair_valid = (m[:, None] * m[None, :])[iu]
+    # <2 valid rows -> no valid pairs. The reference would produce -inf here
+    # (torch.logsumexp over torch.pdist's empty output) and NaN-poison the
+    # backward pass; we return 0 with zero gradient instead (deliberate
+    # deviation, documented in PARITY.md). The double-where keeps the
+    # all-invalid branch finite so reverse-mode sees no NaN.
+    has_pairs = jnp.sum(pair_valid) > 0
+    safe_valid = jnp.where(has_pairs, pair_valid, jnp.ones_like(pair_valid))
     neg_inf = jnp.asarray(-jnp.inf, x.dtype)
-    logits = jnp.where(pair_valid > 0, -t * pair_d2, neg_inf)
-    n_valid = jnp.maximum(jnp.sum(pair_valid), 1.0)
-    return jax.nn.logsumexp(logits) - jnp.log(n_valid)
+    logits = jnp.where(safe_valid > 0, -t * pair_d2, neg_inf)
+    lse = jax.nn.logsumexp(logits) - jnp.log(jnp.sum(safe_valid))
+    return jnp.where(has_pairs, lse, 0.0)
 
 
 def ssm_loss(user_emb, pos_item_emb, neg_item_emb, mask=None):

@@ -99,8 +99,7 @@ def assemble_rec_list(
 def rec_list_from_score_fn(
     data, score_block_fn, k: int, block_size: int = 1024
 ) -> Dict[str, List[Tuple[str, float]]]:
-    plan = EvalPlan(data.test_user_ids, data.rated_offsets, data.rated_items,
-                    block_size)
+    plan = get_eval_plan(data, block_size)
     ids_blocks, score_blocks = [], []
     for uids, rows, cols, valid in plan.blocks:
         scores = score_block_fn(uids)

@@ -130,11 +130,46 @@ _ELL_MODE = os.environ.get("SELFREC_TPU_ELL_MODE", "einsum")
 _CHUNK_BYTES = int(os.environ.get("SELFREC_TPU_ELL_CHUNK_BYTES", 2**30))
 
 
+def _ell_partial(layout: EllLayout, w_stack: jnp.ndarray, x: jnp.ndarray,
+                 p: int) -> jnp.ndarray:
+    """(V, P*D) weighted-gather partials shared by the single-pass and
+    packed applies. ``w_stack`` is (V, P, K) already in compute dtype;
+    ``x`` (n, P*D). Chunks the (V*K, P*D) gather via a sequential lax.map
+    above _CHUNK_BYTES (dense aux graphs OOM the one-shot gather — see
+    module docstring)."""
+    v, k = layout.vdst.shape[0], layout.k
+    d = x.shape[-1] // p
+    gather_bytes = v * k * p * d * jnp.dtype(x.dtype).itemsize
+    if gather_bytes > _CHUNK_BYTES:
+        n_chunks = -(-gather_bytes // _CHUNK_BYTES)
+        vc = -(-v // n_chunks)
+        n_chunks = -(-v // vc)
+        vpad = n_chunks * vc
+        vidx2 = jnp.pad(layout.vidx, (0, (vpad - v) * k)).reshape(
+            n_chunks, vc * k
+        )
+        w2 = jnp.pad(w_stack, ((0, vpad - v), (0, 0), (0, 0))).reshape(
+            n_chunks, vc, p, k
+        )
+
+        def chunk(args):
+            vi, wc = args
+            g = x[vi].reshape(vc, k, p, d)
+            return jnp.einsum(
+                "vpk,vkpd->vpd", wc, g, preferred_element_type=jnp.float32
+            ).reshape(vc, p * d)
+
+        return jax.lax.map(chunk, (vidx2, w2)).reshape(vpad, p * d)[:v]
+    g = x[layout.vidx].reshape(v, k, p, d)
+    return jnp.einsum(
+        "vpk,vkpd->vpd", w_stack, g, preferred_element_type=jnp.float32
+    ).reshape(v, p * d)
+
+
 def _ell_apply(layout: EllLayout, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     from selfrec_tpu.ops.precision import compute_dtype
 
     v, k = layout.vdst.shape[0], layout.k
-    d = x.shape[-1]
     dt = compute_dtype()
     src = x if dt is None else x.astype(dt)
     ww = w if dt is None else w.astype(dt)
@@ -148,30 +183,7 @@ def _ell_apply(layout: EllLayout, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray
                 src[col] * ww[:, kk, None]
             ).astype(jnp.float32)
     else:
-        gather_bytes = v * k * d * jnp.dtype(src.dtype).itemsize
-        if gather_bytes > _CHUNK_BYTES:
-            n_chunks = -(-gather_bytes // _CHUNK_BYTES)
-            vc = -(-v // n_chunks)
-            n_chunks = -(-v // vc)
-            vpad = n_chunks * vc
-            vidx2 = jnp.pad(layout.vidx, (0, (vpad - v) * k)).reshape(
-                n_chunks, vc * k
-            )
-            w2 = jnp.pad(ww, ((0, vpad - v), (0, 0))).reshape(n_chunks, vc, k)
-
-            def chunk(args):
-                vi, wc = args
-                g = src[vi].reshape(vc, k, d)
-                return jnp.einsum(
-                    "vk,vkd->vd", wc, g, preferred_element_type=jnp.float32
-                )
-
-            partial = jax.lax.map(chunk, (vidx2, w2)).reshape(vpad, d)[:v]
-        else:
-            g = src[layout.vidx].reshape(v, k, d)
-            partial = jnp.einsum(
-                "vk,vkd->vd", ww, g, preferred_element_type=jnp.float32
-            )
+        partial = _ell_partial(layout, ww[:, None, :], src, 1)
     return jax.ops.segment_sum(
         partial, layout.vdst, num_segments=layout.n_rows, indices_are_sorted=True
     )
@@ -276,38 +288,10 @@ def _ell_apply_packed(layout: EllLayout, w_stack: jnp.ndarray, x: jnp.ndarray,
     """w_stack (P, V, K); x (n, P*D) -> (n_rows, P*D)."""
     from selfrec_tpu.ops.precision import compute_dtype
 
-    v, k = layout.vdst.shape[0], layout.k
-    p = n_passes
-    d = x.shape[-1] // p
     dt = compute_dtype()
     src = x if dt is None else x.astype(dt)
     ww = w_stack if dt is None else w_stack.astype(dt)
-    gather_bytes = v * k * p * d * jnp.dtype(src.dtype).itemsize
-    if gather_bytes > _CHUNK_BYTES:
-        # bounded-intermediate path; see _ell_apply
-        n_chunks = -(-gather_bytes // _CHUNK_BYTES)
-        vc = -(-v // n_chunks)
-        n_chunks = -(-v // vc)
-        vpad = n_chunks * vc
-        vidx2 = jnp.pad(layout.vidx, (0, (vpad - v) * k)).reshape(
-            n_chunks, vc * k
-        )
-        w2 = jnp.pad(ww, ((0, 0), (0, vpad - v), (0, 0))).transpose(1, 0, 2)
-        w2 = w2.reshape(n_chunks, vc, p, k)
-
-        def chunk(args):
-            vi, wc = args
-            g = src[vi].reshape(vc, k, p, d)
-            return jnp.einsum(
-                "vpk,vkpd->vpd", wc, g, preferred_element_type=jnp.float32
-            ).reshape(vc, p * d)
-
-        partial = jax.lax.map(chunk, (vidx2, w2)).reshape(vpad, p * d)[:v]
-    else:
-        g = src[layout.vidx].reshape(v, k, p, d)
-        partial = jnp.einsum(
-            "pvk,vkpd->vpd", ww, g, preferred_element_type=jnp.float32
-        ).reshape(v, p * d)
+    partial = _ell_partial(layout, ww.transpose(1, 0, 2), src, n_passes)
     return jax.ops.segment_sum(
         partial, layout.vdst, num_segments=layout.n_rows, indices_are_sorted=True
     )

@@ -19,9 +19,17 @@ for a 256-byte row. This kernel removes that latency from the inner loop:
 
 Feasibility bound: an (n, D) table occupies n * roundup(D,128) * bytes
 VMEM (lane padding). At yelp2018 scale (n=69,716, D=64) that is 17.9 MB
-in f32 / 8.9 MB in bf16 — inside v5e VMEM. ``fits_vmem`` guards the
-dispatch; callers fall back to the XLA path (reference hot op this
-replaces: cuSPARSE spmm at /root/reference/model/graph/LightGCN.py:72).
+in f32 / 8.9 MB in bf16 — inside v5e VMEM; ``fits_vmem`` computes the
+guard. (Reference hot op this targets: cuSPARSE spmm at
+/root/reference/model/graph/LightGCN.py:72.)
+
+STAGING STATUS: NOT wired into the production dispatch (ops/graph.spmm).
+On the current libtpu every Mosaic ``dynamic_gather`` lowering either
+raises or crashes/hangs the remote compiler (measured 2026-08-17, details
+in BASELINE.md round-2 section), so only the interpret-mode correctness
+tests exercise this kernel. When a newer toolchain lands: re-run
+scripts/bench_bandwidth.py with a Pallas arm and, if it wins, dispatch
+from ops/graph.spmm behind ``fits_vmem``.
 """
 
 from __future__ import annotations

@@ -220,3 +220,26 @@ def test_directau_padded_batch_deviation_quantified():
     padded_broken = float(directau_loss(u_pad, p_pad, mask_pad, unmasked))
     rel = abs(padded_broken - exact) / abs(exact)
     assert rel > 0.5, f"expected large unmasked deviation, got {rel:.4f}"
+
+
+def test_uniformity_masked_degenerate_batch_finite():
+    """A final batch with <2 valid rows has zero valid pairs. The reference
+    would produce -inf (torch.logsumexp over pdist's empty output) and NaN
+    its backward pass; we return 0 with a finite zero gradient (documented
+    deviation, PARITY.md)."""
+    import jax
+    import jax.numpy as jnp
+    from selfrec_tpu.ops import losses
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 4)), jnp.float32)
+    for n_valid in (0, 1):
+        mask = jnp.zeros(8).at[:n_valid].set(1.0)
+        val = float(losses.uniformity_loss_masked(x, mask))
+        assert val == 0.0
+        g = jax.grad(lambda xx: losses.uniformity_loss_masked(xx, mask))(x)
+        assert np.all(np.isfinite(np.asarray(g))) and np.all(np.asarray(g) == 0)
+    # 2 valid rows: one pair, well-defined and finite
+    mask2 = jnp.zeros(8).at[:2].set(1.0)
+    v2 = float(losses.uniformity_loss_masked(x, mask2))
+    d2 = float(jnp.sum((losses.l2_normalize(x[0]) - losses.l2_normalize(x[1])) ** 2))
+    assert np.isclose(v2, -2 * d2, rtol=1e-5)
