@@ -207,6 +207,55 @@ def bench_mhcn():
     }
 
 
+def bench_sept():
+    # quarter-douban interactions + trust (no motif precompute — SEPT needs
+    # only its two social views). Forces the joint tri-training phase so the
+    # measured epoch runs the packed 2-chain formulation (models/graph/
+    # sept.py batch_loss); no reference comparator (TF1-only).
+    from selfrec_tpu.models import get_model_class
+    from selfrec_tpu.utils.synth import (
+        DOUBAN_INTERACTIONS, DOUBAN_ITEMS, DOUBAN_USERS,
+        synth_graph_triples, synth_social_triples,
+    )
+
+    t0 = time.time()
+    train, test = synth_graph_triples(
+        DOUBAN_USERS // 4, DOUBAN_ITEMS // 4, DOUBAN_INTERACTIONS // 4,
+        seed=1237)
+    social = synth_social_triples(
+        n_users=DOUBAN_USERS // 4, n_relations=169150 // 4)
+    log(f"[sept] synth data ({time.time()-t0:.1f}s)")
+    conf = _graph_conf(
+        "SEPT",
+        {"n_layer": 2, "ss_rate": 0.005, "drop_rate": 0.3, "ins_cnt": 10},
+        **{"social.data": "<synthetic>", "max.epoch": 9})
+    t0 = time.time()
+    model = get_model_class("SEPT")(conf, train, test, **{"social.data": social})
+    model.build()
+    log(f"[sept] built incl. view construction ({time.time()-t0:.1f}s)")
+    # epochs 0-2 are the warm phase; time steady-state JOINT epochs
+    model.run_epoch(0)
+    model.run_epoch(7)  # enters joint phase: fresh compile
+    import jax
+
+    jax.block_until_ready(model.params)
+    best = float("inf")
+    for e in (8, 9, 10):
+        t0 = time.time()
+        model.run_epoch(e)
+        jax.block_until_ready(model.params)
+        best = min(best, time.time() - t0)
+    assert model._joint_phase
+    n_edges = model.data.n_edges
+    log(f"[sept] joint epoch {best:.2f}s, {n_edges} edges")
+    return {
+        "metric": "sept_doubanscale_joint_train_throughput",
+        "value": round(n_edges / best, 1),
+        "unit": "examples/s",
+        "ref_key": "sept",
+    }
+
+
 def bench_eval():
     import jax
     import numpy as np
@@ -251,6 +300,7 @@ WORKLOADS = {
     "simgcl": bench_simgcl,
     "sasrec": bench_sasrec,
     "mhcn": bench_mhcn,
+    "sept": bench_sept,
     "eval": bench_eval,
 }
 
