@@ -328,6 +328,19 @@ class JAXGraphRecommender(GraphRecommender):
             return None
         return built
 
+    def make_adj(self, scipy_norm_adj=None):
+        """Device adjacency for the unified bipartite Laplacian
+        (``data.norm_adj`` by default): picks the dense-bipartite MXU path
+        (ops/spmm_dense.py) on a single accelerator when it fits, else the
+        ELL fast path, then places it on the mesh. Dense is skipped under a
+        mesh — the model-parallel story is the halo-exchange ELL kernel
+        (parallel/halo.py)."""
+        from selfrec_tpu.ops.graph import norm_adj_from_scipy
+
+        mat = self.data.norm_adj if scipy_norm_adj is None else scipy_norm_adj
+        n_users = self.data.user_num if self.mesh is None else None
+        return self.shard_adj(norm_adj_from_scipy(mat, n_users=n_users))
+
     def shard_adj(self, adj):
         """Place an adjacency on the mesh. With a model axis >1, EllAdj is
         rebuilt as a HaloAdj (parallel/halo.py): explicit halo-exchange

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from selfrec_tpu.models.base import JAXGraphRecommender
 from selfrec_tpu.ops import losses
-from selfrec_tpu.ops.graph import lightgcn_propagate, norm_adj_from_scipy
+from selfrec_tpu.ops.graph import lightgcn_propagate
 from selfrec_tpu.ops.init import xavier_uniform
 
 
@@ -27,7 +27,7 @@ class DirectAU(JAXGraphRecommender):
         args = conf[self.model_name] if conf.contain(self.model_name) else {}
         self.gamma = float(args.get("gamma", 2))
         self.n_layers = int(args.get("n_layers", 3))
-        self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
+        self.adj = self.make_adj()
 
     def init_params(self, key):
         ku, ki = jax.random.split(key)

@@ -14,7 +14,7 @@ import jax
 
 from selfrec_tpu.models.base import JAXGraphRecommender
 from selfrec_tpu.ops import losses
-from selfrec_tpu.ops.graph import lightgcn_propagate, norm_adj_from_scipy
+from selfrec_tpu.ops.graph import lightgcn_propagate
 from selfrec_tpu.ops.init import xavier_uniform
 import jax.numpy as jnp
 
@@ -27,7 +27,7 @@ class LightGCN(JAXGraphRecommender):
         super().__init__(conf, training_set, test_set, **kwargs)
         args = conf[self.model_name] if conf.contain(self.model_name) else {}
         self.n_layers = int(args.get("n_layer", 2))
-        self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
+        self.adj = self.make_adj()
 
     def init_params(self, key):
         ku, ki = jax.random.split(key)

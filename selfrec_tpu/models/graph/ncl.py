@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from selfrec_tpu.models.base import JAXGraphRecommender
 from selfrec_tpu.ops import losses
-from selfrec_tpu.ops.graph import lightgcn_propagate, norm_adj_from_scipy
+from selfrec_tpu.ops.graph import lightgcn_propagate
 from selfrec_tpu.ops.init import xavier_uniform
 from selfrec_tpu.ops.kmeans import kmeans
 
@@ -40,7 +40,7 @@ class NCL(JAXGraphRecommender):
         self.alpha = float(args.get("alpha", 1.5))
         self.proto_reg = float(args.get("proto_reg", 1e-7))
         self.k = int(args.get("num_clusters", 2000))
-        self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
+        self.adj = self.make_adj()
         self._proto_phase = False
 
     def init_params(self, key):

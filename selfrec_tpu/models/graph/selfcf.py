@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from selfrec_tpu.models.base import JAXGraphRecommender
-from selfrec_tpu.ops.graph import lightgcn_propagate, norm_adj_from_scipy
+from selfrec_tpu.ops.graph import lightgcn_propagate
 from selfrec_tpu.ops.init import linear_apply, torch_linear_params, xavier_uniform
 from selfrec_tpu.ops.losses import l2_normalize
 
@@ -31,7 +31,7 @@ class SelfCF(JAXGraphRecommender):
         args = conf[self.model_name] if conf.contain(self.model_name) else {}
         self.momentum = float(args.get("tau", 0.05))
         self.n_layers = int(args.get("n_layer", 2))
-        self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
+        self.adj = self.make_adj()
 
     def init_params(self, key):
         ku, ki, kp = jax.random.split(key, 3)

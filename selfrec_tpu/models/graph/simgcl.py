@@ -24,7 +24,6 @@ from selfrec_tpu.ops import losses
 from selfrec_tpu.ops.graph import (
     fused_simgcl_propagate,
     lightgcn_propagate,
-    norm_adj_from_scipy,
 )
 from selfrec_tpu.ops.init import xavier_uniform
 from selfrec_tpu.ops.sampling import unique_with_mask
@@ -39,7 +38,7 @@ class SimGCL(JAXGraphRecommender):
         self.cl_rate = float(args.get("lambda", 0.5))
         self.eps = float(args.get("eps", 0.1))
         self.n_layers = int(args.get("n_layer", 2))
-        self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
+        self.adj = self.make_adj()
 
     def init_params(self, key):
         ku, ki = jax.random.split(key)

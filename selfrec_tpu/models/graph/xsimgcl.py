@@ -19,7 +19,6 @@ from selfrec_tpu.models.base import JAXGraphRecommender
 from selfrec_tpu.ops import losses
 from selfrec_tpu.ops.graph import (
     lightgcn_propagate,
-    norm_adj_from_scipy,
     perturbed_propagate,
 )
 from selfrec_tpu.ops.init import xavier_uniform
@@ -35,7 +34,7 @@ class XSimGCL(JAXGraphRecommender):
         self.temp = float(args.get("tau", 0.15))
         self.n_layers = int(args.get("n_layer", 2))
         self.layer_cl = int(args.get("l_star", 1))
-        self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
+        self.adj = self.make_adj()
 
     def init_params(self, key):
         ku, ki = jax.random.split(key)

@@ -62,9 +62,12 @@ def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
     kernel (parallel/halo.py — model-axis row-sharded tables); NormAdj falls
     back to gather + segment-sum (still used for dynamically re-normalized
     views and by the KNN co-occurrence blocks)."""
+    from selfrec_tpu.ops.spmm_dense import DenseAdj, dense_spmm
     from selfrec_tpu.ops.spmm_ell import EllAdj, ell_spmm
     from selfrec_tpu.parallel.halo import HaloAdj, halo_spmm
 
+    if isinstance(adj, DenseAdj):
+        return dense_spmm(adj, x)
     if isinstance(adj, EllAdj):
         return ell_spmm(adj, x)
     if isinstance(adj, HaloAdj):
@@ -313,10 +316,11 @@ def adj_dropout(adj, key: jax.Array, rate):
     Static shapes: dropped edges keep their slot with weight 0. EllAdj drops
     per ORIGINAL edge and reweights both directions consistently.
     """
+    from selfrec_tpu.ops.spmm_dense import DenseAdj
     from selfrec_tpu.ops.spmm_ell import EllAdj
     from selfrec_tpu.parallel.halo import HaloAdj
 
-    if isinstance(adj, (EllAdj, HaloAdj)):
+    if isinstance(adj, (EllAdj, HaloAdj, DenseAdj)):
         keep = jax.random.uniform(key, adj.edge_w.shape) >= rate
         return adj.reweight(jnp.where(keep, adj.edge_w / (1.0 - rate), 0.0))
     keep = jax.random.uniform(key, adj.w.shape) >= rate
@@ -324,21 +328,41 @@ def adj_dropout(adj, key: jax.Array, rate):
     return NormAdj(adj.src, adj.dst, w, adj.n_nodes, adj.sorted_by_dst)
 
 
-def norm_adj_from_scipy(norm_adj, ell: Optional[bool] = None, k: int = 16):
+def norm_adj_from_scipy(norm_adj, ell: Optional[bool] = None, k: int = 16,
+                        n_users: Optional[int] = None):
     """Device adjacency from a host scipy normalized matrix (one-time setup).
 
     Returns the row-split EllAdj fast path by default (set env
     ``SELFREC_TPU_ELL=0`` or pass ell=False for the edge-list NormAdj).
     Handles rectangular matrices (rows = destinations).
+
+    Passing ``n_users`` for a unified bipartite Laplacian enables the
+    dense-bipartite MXU path (ops/spmm_dense.py) on accelerator backends
+    when the (U, I) block fits the budget — ``SELFREC_TPU_DENSE=0``
+    disables, ``=1`` forces (incl. on CPU, for tests).
     """
     import os
 
     import numpy as np
 
+    coo = norm_adj.tocoo()
+    dense_mode = os.environ.get("SELFREC_TPU_DENSE", "auto")
+    if n_users is not None and dense_mode != "0":
+        from selfrec_tpu.ops import spmm_dense
+
+        n_items = norm_adj.shape[0] - n_users
+        if (norm_adj.shape[0] == norm_adj.shape[1]
+                and spmm_dense.fits_dense(n_users, n_items)
+                and (dense_mode == "1" or jax.default_backend() != "cpu")):
+            blocks = spmm_dense.bipartite_blocks(coo, n_users)
+            if blocks is not None:
+                eu, ei, w = blocks
+                return spmm_dense.dense_adj_from_edges(
+                    eu, ei, w, n_users, n_items)
+
     if ell is None:
         ell = os.environ.get("SELFREC_TPU_ELL", "1") != "0"
     k = int(os.environ.get("SELFREC_TPU_ELL_K", k))
-    coo = norm_adj.tocoo()
     if ell:
         from selfrec_tpu.ops.spmm_ell import ell_adj_from_edges
 
