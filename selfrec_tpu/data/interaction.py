@@ -86,6 +86,22 @@ class Interaction:
             [self.user[u] for u in self.test_users], dtype=np.int32
         )
 
+    def test_gt_csr(self):
+        """(offsets, items) CSR of each test user's ground-truth item ids,
+        rows in ``test_users`` order, items in INSERTION order (the NDCG
+        IDCG quirk depends on it — util/evaluation.py:94-95). Cached; feeds
+        the id-based eval fast path (utils/metrics.ranking_evaluation_ids)."""
+        cached = getattr(self, "_test_gt_csr", None)
+        if cached is None:
+            offsets = np.zeros(len(self.test_users) + 1, dtype=np.int64)
+            items: List[int] = []
+            for r, u in enumerate(self.test_users):
+                items.extend(self.item[i] for i in self.test_set[u])
+                offsets[r + 1] = len(items)
+            cached = self._test_gt_csr = (
+                offsets, np.asarray(items, dtype=np.int32))
+        return cached
+
     # -- construction -------------------------------------------------------
     def _generate_set(self) -> None:
         self._training_set_u = defaultdict(dict)

@@ -119,10 +119,16 @@ class _FastEvalMixin:
     majority-of-metrics vote, save() on improvement (reference
     base/graph_recommender.py:81-104 == base/seq_recommender.py:60-83)."""
 
+    def _fast_measure(self):
+        """Per-epoch measure at max_N. Default: full rec-list + string-path
+        metrics; GraphRecommender overrides with the id-array fast path."""
+        rec_list = self.test()
+        return metrics.ranking_evaluation(
+            self.data.test_set, rec_list, [self.max_N])
+
     def fast_evaluation(self, epoch: int):
         print("Evaluating the model...")
-        rec_list = self.test()
-        measure = metrics.ranking_evaluation(self.data.test_set, rec_list, [self.max_N])
+        measure = self._fast_measure()
         performance = metrics.parse_measure(measure)
 
         if self.best_performance:
@@ -216,6 +222,21 @@ class GraphRecommender(_FastEvalMixin, Recommender):
             block_size=self.eval_block_size,
             topk_impl=self._sharded_topk_impl(),
         )
+
+    def _fast_measure(self):
+        """Id-array eval: device top-k -> vectorized metrics over int ids,
+        skipping the {user: [(name, score)]} assembly (~0.9s host at 30k
+        test users). Exact-equal to the string path (tests/test_metrics.py).
+        The sharded-top-k mesh path keeps the rec-list route."""
+        if self._sharded_topk_impl() is not None:
+            return super()._fast_measure()
+        user_emb, item_emb = self.current_embeddings()
+        top_ids = ranking.topk_ids_from_embeddings(
+            self.data, user_emb, item_emb, self.max_N,
+            block_size=self.eval_block_size)
+        offsets, items = self.data.test_gt_csr()
+        return metrics.ranking_evaluation_ids(
+            offsets, items, top_ids, [self.max_N], self.data.item_num)
 
     def evaluate(self, rec_list):
         self.rec_output.append(

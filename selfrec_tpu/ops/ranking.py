@@ -228,6 +228,23 @@ def _topk_all_blocks(user_emb, item_emb, uids_all, rows_all, cols_all, k):
     return scs, idss
 
 
+def topk_ids_from_embeddings(
+    data, user_emb, item_emb, k: int, block_size: int = 1024
+) -> np.ndarray:
+    """(n_test_users, k) top item ids (internal), rows in test-user order —
+    the raw-array eval path for per-epoch fast_evaluation: skips the
+    name/dict rec-list assembly entirely (see
+    utils/metrics.ranking_evaluation_ids)."""
+    user_emb = jnp.asarray(user_emb)
+    item_emb = jnp.asarray(item_emb)
+    plan = get_eval_plan(data, block_size)
+    n = len(plan.user_ids)
+    _, idss = _topk_all_blocks(
+        user_emb, item_emb, plan.uids_all, plan.rows_all, plan.cols_all, k
+    )
+    return np.asarray(idss).reshape(-1, idss.shape[-1])[:n]
+
+
 def rec_list_from_embeddings(
     data,
     user_emb,

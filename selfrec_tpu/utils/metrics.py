@@ -101,6 +101,63 @@ def ranking_evaluation(origin: Origin, res: RecList, top_ns: Sequence[int]) -> L
     return measure
 
 
+def ranking_evaluation_ids(
+    test_offsets, test_items, top_ids, top_ns: Sequence[int], n_items: int
+) -> List[str]:
+    """Vectorized ``ranking_evaluation`` over internal integer ids.
+
+    Produces the SAME strings (same formulas, same 5-decimal rounding,
+    same reference quirks — interaction-level hit ratio, insertion-order
+    IDCG) without building the {user_name: [(item_name, score)]} dict, which
+    costs ~0.9s of host time per eval at 30k+ test users. Inputs:
+    ``test_offsets``/``test_items`` — CSR of each test user's ground-truth
+    item ids in INSERTION order, rows in the same user order as
+    ``top_ids`` (n_users, K); ``n_items`` — catalog size (for key hashing).
+    Exact-equality vs the string path: tests/test_metrics.py.
+    """
+    import numpy as np
+
+    test_offsets = np.asarray(test_offsets, dtype=np.int64)
+    test_items = np.asarray(test_items, dtype=np.int64)
+    top_ids = np.asarray(top_ids, dtype=np.int64)
+    n_users, K = top_ids.shape
+    if n_users != len(test_offsets) - 1:
+        raise ValueError(
+            f"The lengths of test set ({len(test_offsets) - 1}) and "
+            f"predicted set ({n_users}) do not match!"
+        )
+    len_u = np.diff(test_offsets)
+    total_num = int(len_u.sum())
+
+    row_of_test = np.repeat(np.arange(n_users, dtype=np.int64), len_u)
+    test_keys = row_of_test * n_items + test_items
+    top_keys = np.arange(n_users, dtype=np.int64)[:, None] * n_items + top_ids
+    hit_mask = np.isin(top_keys.ravel(), test_keys).reshape(n_users, K)
+
+    w = 1.0 / np.log2(np.arange(K, dtype=np.float64) + 2.0)
+    cum_w = np.concatenate([[0.0], np.cumsum(w)])
+
+    measure: List[str] = []
+    for n in top_ns:
+        m = hit_mask[:, :n]
+        hits_u = m.sum(axis=1)
+        hit_num = int(hits_u.sum())
+        hr = round(hit_num / total_num, 5)
+        prec = round(hit_num / (n_users * n), 5)
+        rec = round(float(np.mean(hits_u / len_u)), 5)
+        dcg = m @ w[:n]
+        idcg = cum_w[np.minimum(len_u, n)]
+        nd = round(float(np.sum(dcg / idcg) / n_users), 5)
+        measure.append("Top " + str(n) + "\n")
+        measure += [
+            "Hit Ratio:" + str(hr) + "\n",
+            "Precision:" + str(prec) + "\n",
+            "Recall:" + str(rec) + "\n",
+            "NDCG:" + str(nd) + "\n",
+        ]
+    return measure
+
+
 def rating_evaluation(res: Sequence[Tuple]) -> List[str]:
     return ["MAE:" + str(mae(res)) + "\n", "RMSE:" + str(rmse(res)) + "\n"]
 

@@ -84,3 +84,61 @@ def test_recall_at_catalog_is_one():
     res = {"u": [(x, 1.0) for x in ["a", "b", "c", "d"]]}
     h = metrics.hits(origin, res)
     assert metrics.recall(h, origin) == 1.0
+
+
+def test_ranking_evaluation_ids_exact_equal_random():
+    """The id-based vectorized path produces byte-identical measure strings
+    to the reference-convention string path on randomized data."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    n_users, n_items, K = 200, 500, 20
+    origin, res = {}, {}
+    offsets = np.zeros(n_users + 1, dtype=np.int64)
+    gt_items, top_rows = [], []
+    for u in range(n_users):
+        uname = f"u{u}"
+        n_gt = int(rng.integers(1, 30))
+        gt = rng.choice(n_items, size=n_gt, replace=False)
+        origin[uname] = {f"i{i}": 1 for i in gt}
+        gt_items.extend(gt)
+        offsets[u + 1] = len(gt_items)
+        # bias top lists toward ground truth so hits are plentiful
+        pool = np.concatenate([gt, rng.integers(0, n_items, K)])
+        top = []
+        for i in rng.permutation(pool):
+            if i not in top:
+                top.append(int(i))
+            if len(top) == K:
+                break
+        res[uname] = [(f"i{i}", 1.0 - r * 0.01) for r, i in enumerate(top)]
+        top_rows.append(top)
+    top_ids = np.asarray(top_rows, dtype=np.int64)
+
+    for top_ns in ([5], [10, 20], [1, 7, 20]):
+        want = metrics.ranking_evaluation(origin, res, top_ns)
+        got = metrics.ranking_evaluation_ids(
+            offsets, np.asarray(gt_items), top_ids, top_ns, n_items)
+        assert got == want
+
+
+def test_ranking_evaluation_ids_length_mismatch():
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        metrics.ranking_evaluation_ids(
+            np.array([0, 1, 2]), np.array([0, 1]),
+            np.zeros((3, 5), np.int64), [5], 10)
+
+
+def test_graph_fast_measure_matches_string_path(tiny_graph_dataset):
+    """GraphRecommender._fast_measure (id path) == the rec-list string path
+    on a trained model."""
+    from tests.test_models_e2e import run_model
+    from selfrec_tpu.utils import metrics as m
+
+    model, _ = run_model("MF", tiny_graph_dataset)
+    want = m.ranking_evaluation(
+        model.data.test_set, model.test(), [model.max_N])
+    got = model._fast_measure()
+    assert got == want
