@@ -394,7 +394,28 @@ class JAXGraphRecommender(GraphRecommender):
             self.opt_state = jax.jit(self.optimizer.init)(self.params)
         else:
             self.opt_state = self.optimizer.init(self.params)
-        self._compute_emb_jit = jax.jit(self.compute_embeddings)
+        self._compute_emb_jit = self._make_compute_emb_fn()
+
+    def _make_compute_emb_fn(self):
+        """Jitted compute_embeddings with the large device pytrees
+        (adjacencies etc., ``scan_const_attrs``) threaded as ARGUMENTS, not
+        closure constants. Baked-in constants ship inside the serialized HLO
+        — a dense-bipartite adjacency (ops/spmm_dense.py) blew the axon
+        remote-compile request body limit (HTTP 413), and even sparse
+        layouts bloat the compile cache key."""
+
+        def emb_fn(params, consts):
+            saved = {n: getattr(self, n) for n in consts}
+            try:
+                for n, v in consts.items():
+                    setattr(self, n, v)
+                return self.compute_embeddings(params)
+            finally:
+                for n, v in saved.items():
+                    setattr(self, n, v)
+
+        jitted = jax.jit(emb_fn)
+        return lambda params: jitted(params, self._scan_consts())
 
     def _make_epoch_fn(self):
         n_items = self.data.item_num

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from selfrec_tpu.models.base import JAXGraphRecommender
 from selfrec_tpu.ops import losses
-from selfrec_tpu.ops.graph import norm_adj_from_scipy, spmm
+from selfrec_tpu.ops.graph import spmm
 from selfrec_tpu.ops.init import xavier_uniform
 
 
@@ -31,7 +31,7 @@ class MixGCF(JAXGraphRecommender):
         args = conf[self.model_name] if conf.contain(self.model_name) else {}
         self.n_layers = int(args.get("n_layer", 3))
         self.n_negs = int(args.get("n_negs", 64))
-        self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
+        self.adj = self.make_adj()
 
     def init_params(self, key):
         ku, ki = jax.random.split(key)
