@@ -134,3 +134,77 @@ def test_lightgcn_e2e_dense_matches_ell(monkeypatch, tiny_graph_dataset):
     for k in perf_ell:
         assert abs(perf_ell[k] - perf_dense[k]) < 2e-3, (
             k, perf_ell[k], perf_dense[k])
+
+
+def laplacian_weights(eu, ei, n_users, n_items):
+    du = np.bincount(eu, minlength=n_users).astype(np.float64)
+    di = np.bincount(ei, minlength=n_items).astype(np.float64)
+    return (1.0 / np.sqrt(du[eu] * di[ei])).astype(np.float32)
+
+
+def test_factored_int8_detection_and_exactness():
+    """Symmetric-normalized weights -> int8-factored mode; f32 matmul mode
+    equals the edge-list formulation to f32 tolerance (the normalization is
+    exact, not bf16-quantized)."""
+    U, I = 100, 80
+    eu, ei, _ = bipartite_edges(U, I, 1200, seed=8)
+    w = laplacian_weights(eu, ei, U, I)
+    adj = d_ops.dense_adj_from_edges(eu, ei, w, U, I)
+    assert adj.factored and adj.a_ui.dtype == jnp.int8
+
+    lap = unified_laplacian(eu, ei, w, U, I)
+    x = np.random.default_rng(9).standard_normal((U + I, 16)).astype(np.float32)
+    ref = np.asarray(g_ops.spmm(
+        g_ops.norm_adj_from_scipy(lap, ell=False), jnp.asarray(x)))
+
+    adj_f32 = d_ops.DenseAdj(
+        adj.a_ui, adj.edge_users, adj.edge_items, adj.edge_w, U, I,
+        adj.row_scale, adj.col_scale, adj.gain, mm_dtype=jnp.float32)
+    out = np.asarray(g_ops.spmm(adj_f32, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    # bf16 matmul mode stays within bf16 tolerance
+    out_bf16 = np.asarray(g_ops.spmm(adj, jnp.asarray(x)))
+    np.testing.assert_allclose(out_bf16, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_factored_not_triggered_by_arbitrary_weights():
+    U, I = 40, 30
+    eu, ei, w = bipartite_edges(U, I, 200, seed=10)
+    adj = d_ops.dense_adj_from_edges(eu, ei, w, U, I)
+    assert not adj.factored
+
+
+def test_factored_constant_weights():
+    U, I = 40, 30
+    eu, ei, _ = bipartite_edges(U, I, 200, seed=12)
+    w = np.full(len(eu), 0.25, np.float32)
+    adj = d_ops.dense_adj_from_edges(eu, ei, w, U, I)
+    assert adj.factored
+    x = np.random.default_rng(3).standard_normal((U + I, 8)).astype(np.float32)
+    lap = unified_laplacian(eu, ei, w, U, I)
+    ref = np.asarray(g_ops.spmm(
+        g_ops.norm_adj_from_scipy(lap, ell=False), jnp.asarray(x)))
+    out = np.asarray(g_ops.spmm(adj, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_factored_gradients():
+    U, I = 50, 40
+    eu, ei, _ = bipartite_edges(U, I, 400, seed=13)
+    w = laplacian_weights(eu, ei, U, I)
+    lap = unified_laplacian(eu, ei, w, U, I)
+    edge_adj = g_ops.norm_adj_from_scipy(lap, ell=False)
+    adj = d_ops.dense_adj_from_edges(eu, ei, w, U, I)
+    adj = d_ops.DenseAdj(adj.a_ui, adj.edge_users, adj.edge_items, adj.edge_w,
+                         U, I, adj.row_scale, adj.col_scale, adj.gain,
+                         mm_dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(14).standard_normal((U + I, 8)).astype(np.float32))
+
+    def loss(x, a):
+        return jnp.sum(g_ops.spmm(a, x) ** 2)
+
+    g_ref = np.asarray(jax.grad(loss)(x, edge_adj))
+    g_fac = np.asarray(jax.grad(loss)(x, adj))
+    np.testing.assert_allclose(g_fac, g_ref, rtol=1e-4, atol=1e-4)
