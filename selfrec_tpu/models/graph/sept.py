@@ -28,7 +28,6 @@ from selfrec_tpu.ops import losses
 from selfrec_tpu.ops.graph import (
     bipartite_renorm_weights,
     build_bipartite_ell_template,
-    norm_adj_from_scipy,
     spmm,
     spmm_packed,
     union_ell_template,
@@ -61,7 +60,7 @@ class SEPT(JAXGraphRecommender):
             self.data.interaction_mat,
             self.data.user_num,
         )
-        self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
+        self.adj = self.make_adj()
         # friend + sharing views packed over their UNION layout: both
         # patterns are (·)⊙S + I (SEPT.py:33-40), so the union costs barely
         # more slots than one view while halving the gather-chain count

@@ -30,7 +30,6 @@ from selfrec_tpu.ops.graph import (
     bipartite_renorm_weights,
     build_bipartite_ell_template,
     lightgcn_propagate,
-    norm_adj_from_scipy,
 )
 from selfrec_tpu.ops.init import xavier_uniform
 from selfrec_tpu.ops.sampling import unique_with_mask
@@ -55,7 +54,7 @@ class SGL(JAXGraphRecommender):
         self.drop_rate = float(args.get("drop_rate", 0.1))
         self.n_layers = int(args.get("n_layer", 2))
         self.temp = float(args.get("temp", 0.2))
-        self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
+        self.adj = self.make_adj()
         self._edge_users_dev = jnp.asarray(self.data.edge_users)
         self._edge_items_dev = jnp.asarray(self.data.edge_items)
         # static ELL layout shared by every dropped view (weights swap per epoch)
