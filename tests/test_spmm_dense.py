@@ -208,3 +208,45 @@ def test_factored_gradients():
     g_ref = np.asarray(jax.grad(loss)(x, edge_adj))
     g_fac = np.asarray(jax.grad(loss)(x, adj))
     np.testing.assert_allclose(g_fac, g_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_compute_emb_jit_has_no_baked_adjacency(monkeypatch, tiny_graph_dataset):
+    """Regression: jax.jit(compute_embeddings) once closed over the dense
+    block as a program CONSTANT — the serialized compile request carried
+    the whole adjacency and the axon remote-compile endpoint rejected it
+    (HTTP 413). The jitted emb fn must receive scan_const_attrs as
+    arguments; its lowered HLO must stay literal-free (small)."""
+    import jax as _jax
+    from tests.test_models_e2e import make_conf
+    from selfrec_tpu.models import get_model_class
+
+    monkeypatch.setenv("SELFREC_TPU_DENSE", "1")
+    train, test = tiny_graph_dataset
+    conf = make_conf("LightGCN", max_epoch=1)
+    model = get_model_class("LightGCN")(conf, train, test)
+    model.build()
+    assert isinstance(model.adj, d_ops.DenseAdj)
+
+    def emb_fn(params, consts):
+        saved = {n: getattr(model, n) for n in consts}
+        try:
+            for n, v in consts.items():
+                setattr(model, n, v)
+            return model.compute_embeddings(params)
+        finally:
+            for n, v in saved.items():
+                setattr(model, n, v)
+
+    def max_constant_line(txt):
+        return max((len(l) for l in txt.splitlines()
+                    if "constant" in l and "dense<" in l), default=0)
+
+    text = _jax.jit(emb_fn).lower(model.params, model._scan_consts()).as_text()
+    baked = _jax.jit(model.compute_embeddings).lower(model.params).as_text()
+    # the baked version inlines the block as a giant dense<...> literal;
+    # the arg-threaded module must carry no large constant at all
+    assert max_constant_line(baked) > 2000, "sentinel lost its baked literal"
+    assert max_constant_line(text) < 2000, max_constant_line(text)
+    # and the driver-facing wrapper is the arg-threaded one
+    out = model._compute_emb_jit(model.params)
+    assert out[0].shape[0] == model.data.user_num
