@@ -35,24 +35,38 @@ class _FaissKmeans:
         self.d, self.k = d, k
         self.centroids = None
 
+    @staticmethod
+    def _d2(x, c):
+        # ||x-c||^2 via the matmul expansion — the broadcasted (n, k, d)
+        # difference tensor is ~23 GB at NCL's n=22k, k=2000, d=64 and
+        # effectively hangs the run; this is a (n, k) matrix instead.
+        import numpy as np
+
+        x = np.asarray(x, dtype=np.float32)
+        c = np.asarray(c, dtype=np.float32)
+        return (
+            (x * x).sum(1)[:, None]
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(1)[None, :]
+        )
+
     def train(self, x):
         import numpy as np
 
+        x = np.asarray(x, dtype=np.float32)
         rng = np.random.default_rng(0)
-        c = x[rng.choice(len(x), self.k, replace=False)]
+        c = x[rng.choice(len(x), self.k, replace=False)].copy()
         for _ in range(20):
-            d2 = ((x[:, None, :] - c[None]) ** 2).sum(-1)
-            a = d2.argmin(1)
-            for j in range(self.k):
-                m = a == j
-                if m.any():
-                    c[j] = x[m].mean(0)
+            a = self._d2(x, c).argmin(1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            counts = np.bincount(a, minlength=self.k).astype(np.float32)
+            nz = counts > 0
+            c[nz] = sums[nz] / counts[nz, None]
         self.centroids = c
 
     def index_search(self, x):
-        import numpy as np
-
-        d2 = ((x[:, None, :] - self.centroids[None]) ** 2).sum(-1)
+        d2 = self._d2(x, self.centroids)
         return d2.min(1)[:, None], d2.argmin(1)[:, None]
 
 
