@@ -690,6 +690,7 @@ class JAXSequentialRecommender(SequentialRecommender):
         self.opt_state = None
         self.optimizer = None
         self._epoch_fn = None
+        self._data_dev = None  # device-resident padded arrays (first epoch)
         self.best_params = None
         arrays = self.data.padded_training_arrays(self.max_len)
         self._seq_arr, self._pos_arr, self._y_arr, self._len_arr = arrays
@@ -730,15 +731,37 @@ class JAXSequentialRecommender(SequentialRecommender):
             params = optax.apply_updates(params, updates)
             return (params, opt_state, key), loss
 
-        def epoch_fn(params, opt_state, key, seqs, poss, ys, lens, row_masks):
+        mesh = self.mesh
+
+        def epoch_fn(params, opt_state, key, seq_all, pos_all, y_all,
+                     len_all, idx, row_masks):
+            # The epoch's shuffled batches are gathered ON DEVICE from the
+            # resident padded arrays — the host ships only the permutation
+            # (4 bytes/sequence), not the gathered (n, max_len) batch
+            # tensors (~13 MB/epoch at amazon-beauty scale through the
+            # tunnel). The permutation itself stays host-side epoch_rng
+            # (checkpoint-resume contract), so batch contents are identical.
+            n_batches, bs = row_masks.shape
+
+            def take(a):
+                out = a[idx].reshape(n_batches, bs, *a.shape[1:])
+                if mesh is not None and bs % mesh.shape[mesh_lib.DATA_AXIS] == 0:
+                    from jax.sharding import PartitionSpec as P
+
+                    spec = P(None, mesh_lib.DATA_AXIS,
+                             *([None] * (out.ndim - 2)))
+                    out = jax.lax.with_sharding_constraint(
+                        out, jax.sharding.NamedSharding(mesh, spec))
+                return out
+
             (params, opt_state, key), losses_out = jax.lax.scan(
                 step,
                 (params, opt_state, key),
                 {
-                    "seq": seqs,
-                    "pos": poss,
-                    "y": ys,
-                    "seq_len": lens,
+                    "seq": take(seq_all),
+                    "pos": take(pos_all),
+                    "y": take(y_all),
+                    "seq_len": take(len_all),
                     "row_mask": row_masks,
                 },
             )
@@ -760,24 +783,20 @@ class JAXSequentialRecommender(SequentialRecommender):
         row_mask = np.concatenate(
             [np.ones(n, np.float32), np.zeros(pad, np.float32)]
         )
-
-        def cut(a):
-            arr = jnp.asarray(a[idx].reshape(n_batches, bs, *a.shape[1:]))
-            if self.mesh is not None and bs % self.mesh.shape[mesh_lib.DATA_AXIS] == 0:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                spec = P(None, mesh_lib.DATA_AXIS, *([None] * (arr.ndim - 2)))
-                arr = jax.device_put(arr, NamedSharding(self.mesh, spec))
-            return arr
+        if getattr(self, "_data_dev", None) is None:
+            # one-time upload; epochs thereafter ship only idx + row_mask
+            self._data_dev = tuple(
+                jnp.asarray(a)
+                for a in (self._seq_arr, self._pos_arr, self._y_arr,
+                          self._len_arr)
+            )
 
         self.params, self.opt_state, self.key, losses_out = self._epoch_fn(
             self.params,
             self.opt_state,
             self.key,
-            cut(self._seq_arr),
-            cut(self._pos_arr),
-            cut(self._y_arr),
-            cut(self._len_arr),
+            *self._data_dev,
+            jnp.asarray(idx.astype(np.int32)),
             jnp.asarray(row_mask.reshape(n_batches, bs)),
         )
         return np.asarray(losses_out)
