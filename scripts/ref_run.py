@@ -64,10 +64,25 @@ class _FaissKmeans:
             nz = counts > 0
             c[nz] = sums[nz] / counts[nz, None]
         self.centroids = c
+        # faiss.Kmeans exposes a trained `index`; NCL.py:40 calls
+        # `kmeans.index.search(x, 1)` — mirror that exact surface.
+        self.index = _FaissIndex(self.centroids)
 
-    def index_search(self, x):
-        d2 = self._d2(x, self.centroids)
-        return d2.min(1)[:, None], d2.argmin(1)[:, None]
+
+class _FaissIndex:
+    """Stand-in for the `kmeans.index` flat-L2 index (NCL.py:40)."""
+
+    def __init__(self, centroids):
+        self.centroids = centroids
+
+    def search(self, x, n):
+        d2 = _FaissKmeans._d2(x, self.centroids)
+        if n == 1:
+            return d2.min(1)[:, None], d2.argmin(1)[:, None].astype("int64")
+        import numpy as np
+
+        idx = np.argsort(d2, axis=1)[:, :n]
+        return np.take_along_axis(d2, idx, 1), idx.astype("int64")
 
 
 faiss_mod = types.ModuleType("faiss")
