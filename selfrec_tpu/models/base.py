@@ -227,10 +227,14 @@ class GraphRecommender(_FastEvalMixin, Recommender):
         """Id-array eval: device top-k -> vectorized metrics over int ids,
         skipping the {user: [(name, score)]} assembly (~0.9s host at 30k
         test users). Exact-equal to the string path (tests/test_metrics.py).
-        The sharded-top-k mesh path keeps the rec-list route."""
+        The sharded-top-k mesh path keeps the rec-list route, as do models
+        without embedding tables (UserKNN/ItemKNN override test() with a
+        score-function path and never set user_emb/item_emb)."""
         if self._sharded_topk_impl() is not None:
             return super()._fast_measure()
         user_emb, item_emb = self.current_embeddings()
+        if user_emb is None or item_emb is None:
+            return super()._fast_measure()
         top_ids = ranking.topk_ids_from_embeddings(
             self.data, user_emb, item_emb, self.max_N,
             block_size=self.eval_block_size)

@@ -320,7 +320,17 @@ def adj_dropout(adj, key: jax.Array, rate):
     from selfrec_tpu.ops.spmm_ell import EllAdj
     from selfrec_tpu.parallel.halo import HaloAdj
 
-    if isinstance(adj, (EllAdj, HaloAdj, DenseAdj)):
+    if isinstance(adj, DenseAdj):
+        # DenseAdj.reweight re-scatters the full (U, I) block and downgrades
+        # the int8-factored form to a generic value block — fine once per
+        # EPOCH (SGL/SEPT views) but a multi-GB-per-step cliff inside a
+        # training scan. Per-step-dropout models (BUIR/MixGCF) must build
+        # their adjacency on the ELL layout (norm_adj_from_scipy without
+        # n_users, as BUIR does).
+        raise TypeError(
+            "adj_dropout on DenseAdj would rebuild the dense block every "
+            "step; use an EllAdj for per-step dropout models")
+    if isinstance(adj, (EllAdj, HaloAdj)):
         keep = jax.random.uniform(key, adj.edge_w.shape) >= rate
         return adj.reweight(jnp.where(keep, adj.edge_w / (1.0 - rate), 0.0))
     keep = jax.random.uniform(key, adj.w.shape) >= rate

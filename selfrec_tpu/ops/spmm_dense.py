@@ -120,8 +120,10 @@ class DenseAdj:
 
 
 def _scatter_dense(edge_users, edge_items, w, n_users, n_items, dtype):
+    # .add (not .set) so duplicate (user, item) edges SUM, matching the
+    # segment_sum / ELL sparse paths' multigraph semantics.
     zeros = jnp.zeros((n_users, n_items), dtype=dtype)
-    return zeros.at[edge_users, edge_items].set(w.astype(dtype))
+    return zeros.at[edge_users, edge_items].add(w.astype(dtype))
 
 
 def _try_factor(edge_users, edge_items, w, n_users, n_items):
@@ -134,6 +136,11 @@ def _try_factor(edge_users, edge_items, w, n_users, n_items):
     ei = np.asarray(edge_items)
     w = np.asarray(w, dtype=np.float64)
     if len(w) == 0 or np.any(w <= 0):
+        return None
+    # Duplicate (user, item) edges can't be represented by a binary
+    # incidence — fall back to the generic value block, whose scatter
+    # SUMS duplicates like the sparse paths.
+    if len(np.unique(eu.astype(np.int64) * (n_items + 1) + ei)) != len(eu):
         return None
     du = np.bincount(eu, minlength=n_users).astype(np.float64)
     di = np.bincount(ei, minlength=n_items).astype(np.float64)
@@ -187,7 +194,14 @@ def fits_dense(n_users: int, n_items: int) -> bool:
 def bipartite_blocks(coo, n_users: int):
     """Split a unified (U+I)x(U+I) COO Laplacian into bipartite (u, i, w)
     edge arrays, or None if any nonzero lives in a diagonal block (not
-    bipartite — e.g. social or motif graphs)."""
+    bipartite — e.g. social or motif graphs).
+
+    dense_spmm uses ONE stored (U, I) block and its transpose for the item
+    direction, which is only valid for a symmetric matrix — so the lower
+    (I, U) block is verified to equal the upper block's transpose (an
+    asymmetric input, e.g. a row-normalized D^-1 A, would otherwise
+    silently propagate wrong item values). Asymmetric → None (caller
+    falls back to a sparse layout that stores both directions)."""
     import numpy as np
 
     row, col, dat = coo.row, coo.col, coo.data
@@ -197,7 +211,20 @@ def bipartite_blocks(coo, n_users: int):
         return None
     eu = row[upper].astype(np.int32)
     ei = (col[upper] - n_users).astype(np.int32)
-    return eu, ei, dat[upper].astype(np.float32)
+    w = dat[upper].astype(np.float32)
+    # symmetry check: sorted (u, i, w) of the lower block's transpose must
+    # match the upper block exactly
+    lu = col[lower].astype(np.int32)
+    li = (row[lower] - n_users).astype(np.int32)
+    lw = dat[lower].astype(np.float32)
+    if len(lu) != len(eu):
+        return None
+    ku = np.lexsort((ei, eu))
+    kl = np.lexsort((li, lu))
+    if not (np.array_equal(eu[ku], lu[kl]) and np.array_equal(ei[ku], li[kl])
+            and np.array_equal(w[ku], lw[kl])):
+        return None
+    return eu, ei, w
 
 
 def dense_spmm(adj: DenseAdj, x: jnp.ndarray) -> jnp.ndarray:

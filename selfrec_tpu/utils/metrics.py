@@ -127,6 +127,13 @@ def ranking_evaluation_ids(
             f"predicted set ({n_users}) do not match!"
         )
     len_u = np.diff(test_offsets)
+    if len(len_u) and int(len_u.min()) <= 0:
+        # the reference's per-user recall/NDCG divide by the ground-truth
+        # count and raise ZeroDivisionError on a degenerate user
+        # (util/evaluation.py recall/NDCG) — fail loudly like it does
+        # instead of propagating NaN into the measure strings
+        raise ZeroDivisionError(
+            "test user with zero ground-truth items in ranking_evaluation_ids")
     total_num = int(len_u.sum())
 
     row_of_test = np.repeat(np.arange(n_users, dtype=np.int64), len_u)

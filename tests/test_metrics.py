@@ -142,3 +142,16 @@ def test_graph_fast_measure_matches_string_path(tiny_graph_dataset):
         model.data.test_set, model.test(), [model.max_N])
     got = model._fast_measure()
     assert got == want
+
+
+def test_ranking_evaluation_ids_zero_gt_raises():
+    """A test user with zero ground-truth items must fail loudly (the
+    reference raises ZeroDivisionError in its per-user recall/NDCG), not
+    propagate NaN into the measure strings."""
+    import numpy as np
+
+    offsets = np.array([0, 2, 2])  # user 1 has no ground truth
+    items = np.array([1, 2])
+    top = np.zeros((2, 3), np.int64)
+    with pytest.raises(ZeroDivisionError):
+        metrics.ranking_evaluation_ids(offsets, items, top, [3], 10)

@@ -262,3 +262,15 @@ def test_eval_cadence_matches_reference(tiny_graph_dataset):
     conf = make_conf("SimGCL", extra={"n_layer": 2})
     m = SimGCL(conf, *tiny_graph_dataset)
     assert all(m.should_evaluate(e) for e in range(8))
+
+
+def test_knn_fast_evaluation_falls_back(tiny_graph_dataset):
+    """KNN models never set user_emb/item_emb; fast_evaluation must fall
+    back to the rec-list path instead of raising on current_embeddings()."""
+    model, _ = run_model("UserKNN", tiny_graph_dataset, topK=10, shrinkage=2)
+    assert model.user_emb is None
+    measure = model.fast_evaluation(0)
+    from selfrec_tpu.utils import metrics as m
+
+    perf = m.parse_measure(measure)
+    assert perf["Recall"] > 0.2

@@ -47,23 +47,77 @@ def test_dense_matches_edge_list(dtype):
     np.testing.assert_allclose(out, ref, rtol=tol, atol=tol)
 
 
-def test_dense_dropout_matches_ell_dropout():
-    """adj_dropout over DenseAdj == the same keep-mask applied to the exact
-    edge-list formulation (same key -> same uniform draws per edge slot)."""
+def test_dense_reweight_matches_ell_dropout():
+    """DenseAdj.reweight (the per-EPOCH view mechanism) with a dropout-style
+    keep-mask == the same weights applied to the exact edge-list formulation."""
     U, I = 60, 45
     eu, ei, w = bipartite_edges(U, I, 600, seed=3)
     adj = d_ops.dense_adj_from_edges(eu, ei, w, U, I, dtype=jnp.float32)
     key = jax.random.PRNGKey(7)
-    dropped = g_ops.adj_dropout(adj, key, 0.4)
+    keep = jax.random.uniform(key, (len(eu),)) >= 0.4
+    dropped = adj.reweight(jnp.where(keep, adj.edge_w / 0.6, 0.0))
 
-    keep = np.asarray(jax.random.uniform(key, (len(eu),)) >= 0.4)
-    w_kept = np.where(keep, w / 0.6, 0.0).astype(np.float32)
+    w_kept = np.where(np.asarray(keep), w / 0.6, 0.0).astype(np.float32)
     lap = unified_laplacian(eu, ei, w_kept, U, I)
     x = np.random.default_rng(2).standard_normal((U + I, 8)).astype(np.float32)
     ref = np.asarray(g_ops.spmm(
         g_ops.norm_adj_from_scipy(lap, ell=False), jnp.asarray(x)))
     out = np.asarray(g_ops.spmm(dropped, jnp.asarray(x)))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_adj_dropout_on_dense_raises():
+    """Per-step dropout on DenseAdj is a multi-GB-per-step rebuild cliff —
+    adj_dropout refuses it loudly (per-step models must use ELL)."""
+    U, I = 20, 15
+    eu, ei, w = bipartite_edges(U, I, 60, seed=4)
+    adj = d_ops.dense_adj_from_edges(eu, ei, w, U, I, dtype=jnp.float32)
+    with pytest.raises(TypeError, match="per-step dropout"):
+        g_ops.adj_dropout(adj, jax.random.PRNGKey(0), 0.3)
+
+
+def test_bipartite_blocks_rejects_asymmetric():
+    """dense_spmm reuses one (U, I) block transposed for the item pass —
+    an asymmetric unified matrix (e.g. row-normalized D^-1 A) must be
+    rejected so the caller falls back to a layout storing both directions."""
+    U, I = 12, 9
+    eu, ei, w = bipartite_edges(U, I, 40, seed=5)
+    n = U + I
+    # symmetric passes
+    sym = unified_laplacian(eu, ei, w, U, I).tocoo()
+    assert d_ops.bipartite_blocks(sym, U) is not None
+    # perturb one lower-block value -> asymmetric -> rejected
+    asym = sp.coo_matrix(
+        (np.concatenate([w, w * np.where(np.arange(len(w)) == 0, 2.0, 1.0)]),
+         (np.concatenate([eu, ei + U]), np.concatenate([ei + U, eu]))),
+        shape=(n, n))
+    assert d_ops.bipartite_blocks(asym, U) is None
+    # structurally asymmetric (missing lower entry) -> rejected
+    miss = sp.coo_matrix(
+        (np.concatenate([w, w[1:]]),
+         (np.concatenate([eu, ei[1:] + U]), np.concatenate([ei + U, eu[1:]]))),
+        shape=(n, n))
+    assert d_ops.bipartite_blocks(miss, U) is None
+
+
+def test_duplicate_edges_sum_like_sparse():
+    """Duplicate (user, item) edges SUM in every backend: the dense scatter
+    uses .add and the factored int8 detection bails to the generic block."""
+    U, I = 10, 8
+    eu = np.array([0, 0, 2, 5], np.int32)
+    ei = np.array([1, 1, 3, 7], np.int32)
+    w = np.array([0.5, 0.25, 1.0, 2.0], np.float32)
+    adj = d_ops.dense_adj_from_edges(eu, ei, w, U, I)
+    assert not adj.factored  # duplicates can't factor into binary incidence
+    blk = np.asarray(adj.a_ui, np.float32)
+    assert blk[0, 1] == pytest.approx(0.75, rel=1e-2)
+
+    x = np.random.default_rng(6).standard_normal((U + I, 4)).astype(np.float32)
+    lap = unified_laplacian(eu, ei, w, U, I)  # scipy COO->CSR sums dups
+    ref = np.asarray(g_ops.spmm(
+        g_ops.norm_adj_from_scipy(lap, ell=False), jnp.asarray(x)))
+    out = np.asarray(g_ops.spmm(adj, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)
 
 
 def test_dense_gradients_match_edge_list():
