@@ -82,24 +82,13 @@ def audit_hlo(hlo_text: str) -> dict:
     return counts
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--json", default=None)
-    args = ap.parse_args()
-
-    assert len(jax.devices()) >= 8, (
-        "run with XLA_FLAGS=--xla_force_host_platform_device_count=8")
-
-    import __graft_entry__ as ge
-
-    model = ge._make_model(mesh_conf={"data": 4, "model": 2})
-    n_u, n_i, d = model.data.user_num, model.data.item_num, model.emb_size
-    epoch_fn = model._make_epoch_fn()
-
-    # assemble the exact run_epoch(0) arguments
+def audit_epoch(model) -> dict:
+    """Lower the exact run_epoch(0) call and count collectives in the
+    optimized HLO."""
     from selfrec_tpu.ops import sampling
     from selfrec_tpu.parallel import mesh as mesh_lib
 
+    epoch_fn = model._make_epoch_fn()
     users, items, masks = sampling.epoch_pairwise_batches(
         model.epoch_rng(0), model.data.edge_users, model.data.edge_items,
         model.batch_size)
@@ -111,14 +100,50 @@ def main():
 
     lowered = epoch_fn.lower(model.params, model.opt_state, model.key, aux,
                              users, items, masks, model._scan_consts())
-    hlo = lowered.compile().as_text()
+    return audit_hlo(lowered.compile().as_text())
 
-    counts = audit_hlo(hlo)
+
+def main():
+    import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    assert len(jax.devices()) >= 8, (
+        "run with XLA_FLAGS=--xla_force_host_platform_device_count=8")
+
+    import __graft_entry__ as ge
+
+    model = ge._make_model(mesh_conf={"data": 4, "model": 2})
+    n_u, n_i, d = model.data.user_num, model.data.item_num, model.emb_size
+    counts = audit_epoch(model)
     table_bytes = (n_u + n_i) * d * 4
     full_table_ag = [
         (op, rec) for op, rec in counts.items()
         if op == "all-gather" and rec["largest"] >= table_bytes
     ]
+
+    # the sharded dense path (parallel/dense_shard.py): collectives must be
+    # embedding-block-sized — never the (U, I) dense block
+    os.environ["SELFREC_TPU_DENSE"] = "1"
+    try:
+        from selfrec_tpu.parallel.dense_shard import ShardedDenseAdj
+
+        dmodel = ge._make_model(mesh_conf={"data": 4, "model": 2})
+        assert isinstance(dmodel.adj, ShardedDenseAdj), type(dmodel.adj)
+        dense_counts = audit_epoch(dmodel)
+        # the invariant that matters at scale: every collective payload is
+        # bounded by an embedding BLOCK (rows x packed-width x f32) — the
+        # propagation never ships anything proportional to U*I. SimGCL's
+        # fused chain is 3 packed passes wide.
+        emb_block_bound = max(dmodel.adj.u_pad, dmodel.adj.i_pad) * 3 * d * 4
+        oversized = [
+            (op, rec["largest_shape"]) for op, rec in dense_counts.items()
+            if rec["largest"] > emb_block_bound * 1.5
+        ]
+    finally:
+        os.environ.pop("SELFREC_TPU_DENSE", None)
 
     report = {
         "mesh": {"data": 4, "model": 2},
@@ -126,6 +151,11 @@ def main():
                         "full_table_bytes": table_bytes},
         "collectives": counts,
         "full_table_all_gather": bool(full_table_ag),
+        "sharded_dense": {
+            "collectives": dense_counts,
+            "emb_block_bound_bytes": emb_block_bound,
+            "oversized_collectives": oversized,
+        },
     }
     print(json.dumps(report, indent=2))
     if args.json:

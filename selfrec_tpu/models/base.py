@@ -357,27 +357,67 @@ class JAXGraphRecommender(GraphRecommender):
         """Device adjacency for the unified bipartite Laplacian
         (``data.norm_adj`` by default): picks the dense-bipartite MXU path
         (ops/spmm_dense.py) on a single accelerator when it fits, else the
-        ELL fast path, then places it on the mesh. Dense is skipped under a
-        mesh — the model-parallel story is the halo-exchange ELL kernel
+        ELL fast path, then places it on the mesh. Under a mesh the dense
+        block is 2D-partitioned over the device grid
+        (parallel/dense_shard.py — the per-device budget gate means the
+        dense capacity GROWS with the device count); non-bipartite or
+        over-budget graphs take the halo-exchange ELL kernel
         (parallel/halo.py)."""
         from selfrec_tpu.ops.graph import norm_adj_from_scipy
 
         mat = self.data.norm_adj if scipy_norm_adj is None else scipy_norm_adj
-        n_users = self.data.user_num if self.mesh is None else None
-        return self.shard_adj(norm_adj_from_scipy(mat, n_users=n_users))
+        if self.mesh is not None:
+            sharded = self._try_sharded_dense(mat)
+            if sharded is not None:
+                return sharded
+            return self.shard_adj(norm_adj_from_scipy(mat))
+        return self.shard_adj(
+            norm_adj_from_scipy(mat, n_users=self.data.user_num))
+
+    def _try_sharded_dense(self, mat):
+        """ShardedDenseAdj when the unified matrix is symmetric-bipartite,
+        dense is enabled (env gate as on a single chip), and the per-device
+        column slice fits the budget; None otherwise."""
+        import os
+
+        from selfrec_tpu.ops import spmm_dense
+        from selfrec_tpu.parallel import dense_shard
+
+        dense_mode = os.environ.get("SELFREC_TPU_DENSE", "auto")
+        if dense_mode == "0" or (
+                dense_mode != "1" and jax.default_backend() == "cpu"):
+            return None
+        n_users = self.data.user_num
+        n_items = mat.shape[0] - n_users
+        if (mat.shape[0] != mat.shape[1]
+                or not dense_shard.fits_sharded_dense(
+                    n_users, n_items, self.mesh)):
+            return None
+        blocks = spmm_dense.bipartite_blocks(mat.tocoo(), n_users)
+        if blocks is None:
+            return None
+        eu, ei, w = blocks
+        return dense_shard.build_sharded_dense(
+            eu, ei, w, n_users, n_items, self.mesh)
 
     def shard_adj(self, adj):
-        """Place an adjacency on the mesh. With a model axis >1, EllAdj is
-        rebuilt as a HaloAdj (parallel/halo.py): explicit halo-exchange
-        shard_map SpMM over the row-sharded table — GSPMD's own resolution of
-        the ELL gather all-reduces the nnz-sized gather output instead
+        """Place an adjacency on the mesh. DenseAdj is rebuilt 2D-partitioned
+        (parallel/dense_shard.py). With a model axis >1, EllAdj is rebuilt as
+        a HaloAdj (parallel/halo.py): explicit halo-exchange shard_map SpMM
+        over the row-sharded table — GSPMD's own resolution of the ELL gather
+        all-reduces the nnz-sized gather output instead
         (scripts/audit_collectives.py). Otherwise (pure DP) arrays go over
         the data axis — sharded partial segment-sums; GSPMD adds the psum.
         No-op on a single device."""
         if self.mesh is None:
             return adj
+        from selfrec_tpu.ops.spmm_dense import DenseAdj
         from selfrec_tpu.ops.spmm_ell import EllAdj
 
+        if isinstance(adj, DenseAdj):
+            from selfrec_tpu.parallel.dense_shard import sharded_dense_from_dense
+
+            return sharded_dense_from_dense(adj, self.mesh)
         if (isinstance(adj, EllAdj)
                 and self.mesh.shape[mesh_lib.MODEL_AXIS] > 1):
             from selfrec_tpu.parallel.halo import halo_from_ell

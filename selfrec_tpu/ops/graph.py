@@ -64,10 +64,14 @@ def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
     views and by the KNN co-occurrence blocks)."""
     from selfrec_tpu.ops.spmm_dense import DenseAdj, dense_spmm
     from selfrec_tpu.ops.spmm_ell import EllAdj, ell_spmm
+    from selfrec_tpu.parallel.dense_shard import (
+        ShardedDenseAdj, sharded_dense_spmm)
     from selfrec_tpu.parallel.halo import HaloAdj, halo_spmm
 
     if isinstance(adj, DenseAdj):
         return dense_spmm(adj, x)
+    if isinstance(adj, ShardedDenseAdj):
+        return sharded_dense_spmm(adj, x)
     if isinstance(adj, EllAdj):
         return ell_spmm(adj, x)
     if isinstance(adj, HaloAdj):
