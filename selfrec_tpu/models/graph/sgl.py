@@ -36,11 +36,14 @@ from selfrec_tpu.ops.sampling import unique_with_mask
 
 
 class SGL(JAXGraphRecommender):
-    # the packed-view template + clean weights are large static pytrees used
-    # inside batch_loss — thread them through the jitted epoch as args
+    # the packed-view template + clean weights (ELL path) or the two
+    # per-epoch dense view blocks are large static pytrees used inside
+    # batch_loss — thread them through the jitted epoch as args
     scan_const_attrs = JAXGraphRecommender.scan_const_attrs + (
         "_view_template",
         "_w_clean",
+        "_view1",
+        "_view2",
     )
 
     def should_evaluate(self, epoch):
@@ -57,23 +60,59 @@ class SGL(JAXGraphRecommender):
         self.adj = self.make_adj()
         self._edge_users_dev = jnp.asarray(self.data.edge_users)
         self._edge_items_dev = jnp.asarray(self.data.edge_items)
-        # static ELL layout shared by every dropped view (weights swap per epoch)
-        self._view_template = self.shard_adj(
-            build_bipartite_ell_template(
-                self.data.edge_users,
-                self.data.edge_items,
+        self._view_template = None
+        self._w_clean = None
+        self._view1 = None
+        self._view2 = None
+        if self._dense_views():
+            # MXU path: each per-epoch dropped view is rebuilt as a NEW
+            # int8-factored dense block (DenseAdj.refactor_view — the
+            # symmetric renorm over kept edges factors exactly, so views
+            # propagate at clean-graph speed with no weight quantization).
+            # The adjacency's edge order (scipy COO of norm_adj) differs
+            # from the dataset's edge order the keep-mask is drawn in —
+            # map once here.
+            self._edge_perm = jnp.asarray(self._adj_edge_perm())
+        else:
+            # gather path: static ELL layout shared by every dropped view
+            # (weights swap per epoch)
+            self._view_template = self.shard_adj(
+                build_bipartite_ell_template(
+                    self.data.edge_users,
+                    self.data.edge_items,
+                    self.data.user_num,
+                    self.data.item_num,
+                )
+            )
+            # clean-graph weights over the SAME layout (== norm_adj norm)
+            self._w_clean = bipartite_renorm_weights(
+                self._edge_users_dev,
+                self._edge_items_dev,
+                jnp.ones(self.data.n_edges, dtype=bool),
                 self.data.user_num,
                 self.data.item_num,
             )
-        )
-        # clean-graph weights over the SAME layout (== norm_adj normalization)
-        self._w_clean = bipartite_renorm_weights(
-            self._edge_users_dev,
-            self._edge_items_dev,
-            jnp.ones(self.data.n_edges, dtype=bool),
-            self.data.user_num,
-            self.data.item_num,
-        )
+
+    def _dense_views(self) -> bool:
+        from selfrec_tpu.ops.spmm_dense import DenseAdj
+        from selfrec_tpu.parallel.dense_shard import ShardedDenseAdj
+
+        return isinstance(self.adj, (DenseAdj, ShardedDenseAdj))
+
+    def _adj_edge_perm(self) -> np.ndarray:
+        """perm[j] = dataset-edge index of the adjacency's j-th edge, so a
+        keep-mask drawn in dataset order applies to the dense block's
+        edge order."""
+        n_i = self.data.item_num
+        data_key = (self.data.edge_users.astype(np.int64) * n_i
+                    + self.data.edge_items)
+        adj_key = (np.asarray(self.adj.edge_users).astype(np.int64) * n_i
+                   + np.asarray(self.adj.edge_items))
+        order = np.argsort(data_key)
+        pos = np.searchsorted(data_key[order], adj_key)
+        assert np.array_equal(data_key[order][pos], adj_key), (
+            "adjacency edges are not a permutation of the dataset edges")
+        return order[pos].astype(np.int32)
 
     def init_params(self, key):
         ku, ki = jax.random.split(key)
@@ -123,26 +162,51 @@ class SGL(JAXGraphRecommender):
 
     def epoch_setup(self, epoch):
         rng = self.epoch_rng(epoch, stream=1)
+        if self._dense_views():
+            # two fresh int8-factored view blocks per epoch (one scatter +
+            # two segment-sums each); threaded via scan_const_attrs, which
+            # run_epoch collects AFTER this call
+            k1 = jnp.asarray(self._edge_keep_mask(rng))[self._edge_perm]
+            k2 = jnp.asarray(self._edge_keep_mask(rng))[self._edge_perm]
+            self._view1 = self.adj.refactor_view(k1)
+            self._view2 = self.adj.refactor_view(k2)
+            return {}
         return {"w1": self._view_weights(rng), "w2": self._view_weights(rng)}
 
     # -- loss ----------------------------------------------------------------
-    def batch_loss(self, params, batch, key):
-        from selfrec_tpu.ops.graph import spmm_packed
+    def _propagated_views(self, params, aux):
+        """(clean, view1, view2) propagated (n, D) embeddings.
 
-        # clean graph + the two dropped views share the template's ELL
-        # layout (only weights differ), so the 3 propagation chains run as
-        # ONE packed width-3D gather chain (see spmm_ell.ell_spmm_packed).
-        aux = batch["aux"]
-        w_stack = jnp.stack([self._w_clean, aux["w1"], aux["w2"]])
+        ELL path: the clean graph + both dropped views share the template's
+        layout (only weights differ), so the 3 chains run as ONE packed
+        width-3D gather chain (spmm_ell.ell_spmm_packed). Dense path: three
+        int8-factored blocks — the MXU matmul streams each block once per
+        layer, and the per-epoch views were refactored in epoch_setup."""
+        from selfrec_tpu.ops.graph import spmm, spmm_packed
+
         ego = self._ego(params)
+        if self._view_template is None:
+            outs = []
+            for adj in (self.adj, self._view1, self._view2):
+                x = ego
+                acc = ego  # include_layer0=True (SGL.py:100-111)
+                for _ in range(self.n_layers):
+                    x = spmm(adj, x)
+                    acc = acc + x
+                outs.append(acc / (self.n_layers + 1))
+            return outs
+        w_stack = jnp.stack([self._w_clean, aux["w1"], aux["w2"]])
         x = jnp.concatenate([ego, ego, ego], axis=1)
-        acc = x  # include_layer0=True (SGL.py:100-111)
+        acc = x
         for _ in range(self.n_layers):
             x = spmm_packed(self._view_template, w_stack, x, 3)
             acc = acc + x
         out = acc / (self.n_layers + 1)
         d = self.emb_size
-        clean, view1, view2 = out[:, :d], out[:, d : 2 * d], out[:, 2 * d :]
+        return out[:, :d], out[:, d : 2 * d], out[:, 2 * d :]
+
+    def batch_loss(self, params, batch, key):
+        clean, view1, view2 = self._propagated_views(params, batch["aux"])
 
         nu = self.data.user_num
         user_all, item_all = clean[:nu], clean[nu:]

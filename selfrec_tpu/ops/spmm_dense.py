@@ -113,6 +113,31 @@ class DenseAdj:
         return DenseAdj(a, self.edge_users, self.edge_items, w,
                         self.n_users, self.n_items)
 
+    def refactor_view(self, keep: jnp.ndarray) -> "DenseAdj":
+        """Symmetric-renormalized dropped view that STAYS int8-factored.
+
+        The kept-edge Laplacian's weights are exactly 1/sqrt(du'*di') over
+        the RECOMPUTED degrees (reference edge dropout ->
+        convert_to_laplacian_mat, SGL.py:89-96 + ui_graph.py:58-65) — i.e.
+        a new binary incidence plus new f32 diagonal scalings. Unlike
+        :meth:`reweight` this keeps the view on the int8 MXU fast path with
+        zero weight quantization: per-epoch SGL/SEPT views cost one int8
+        scatter + two segment-sums, and propagate at clean-graph speed.
+        ``keep`` is (E,) bool over the original edge order; fully jittable."""
+        kf = keep.astype(jnp.float32)
+        du = jax.ops.segment_sum(kf, self.edge_users,
+                                 num_segments=self.n_users)
+        di = jax.ops.segment_sum(kf, self.edge_items,
+                                 num_segments=self.n_items)
+        ru = jnp.where(du > 0, jax.lax.rsqrt(jnp.maximum(du, 1e-12)), 0.0)
+        ci = jnp.where(di > 0, jax.lax.rsqrt(jnp.maximum(di, 1e-12)), 0.0)
+        b = jnp.zeros((self.n_users, self.n_items), jnp.int8).at[
+            self.edge_users, self.edge_items].add(keep.astype(jnp.int8))
+        w = kf * ru[self.edge_users] * ci[self.edge_items]
+        return DenseAdj(b, self.edge_users, self.edge_items, w,
+                        self.n_users, self.n_items,
+                        ru, ci, jnp.float32(1.0), mm_dtype=self.mm_dtype)
+
     def __repr__(self):
         mode = "int8-factored" if self.factored else f"{self.a_ui.dtype}"
         return (f"DenseAdj(U={self.n_users}, I={self.n_items}, {mode}, "

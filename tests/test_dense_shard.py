@@ -184,3 +184,31 @@ def test_comm_bytes_model():
     # all volumes are embedding-block-sized: << U*I and << nnz*K
     assert max(cb.values()) <= adj.u_pad * 64 * 4
     assert all(v >= 0 for v in cb.values())
+
+
+def test_sgl_sharded_dense_views_match_single(monkeypatch, tiny_graph_dataset):
+    """SGL under a (4,2) mesh with dense forced: per-epoch views are
+    refactored SHARDED int8 blocks (local scatters only); one trained epoch
+    matches the single-device dense run."""
+    from tests.test_parallel import make_conf
+    from selfrec_tpu.models import get_model_class
+    from selfrec_tpu.ops.spmm_dense import DenseAdj
+
+    monkeypatch.setenv("SELFREC_TPU_DENSE", "1")
+    monkeypatch.setenv("SELFREC_TPU_DENSE_DTYPE", "float32")
+    train, test = tiny_graph_dataset
+    cls = get_model_class("SGL")
+
+    runs = {}
+    for name, mesh in [("single", None), ("dp_tp", {"data": 4, "model": 2})]:
+        model = cls(make_conf(mesh=mesh), train, test)
+        expect = DenseAdj if mesh is None else ds.ShardedDenseAdj
+        assert isinstance(model.adj, expect)
+        assert model._view_template is None  # dense-views branch active
+        model.build()
+        model.run_epoch(0)
+        assert isinstance(model._view1, expect) and model._view1.factored
+        runs[name] = np.asarray(model.params["user_emb"])
+
+    np.testing.assert_allclose(runs["single"], runs["dp_tp"],
+                               rtol=2e-4, atol=2e-5)

@@ -304,3 +304,49 @@ def test_compute_emb_jit_has_no_baked_adjacency(monkeypatch, tiny_graph_dataset)
     # and the driver-facing wrapper is the arg-threaded one
     out = model._compute_emb_jit(model.params)
     assert out[0].shape[0] == model.data.user_num
+
+
+def test_refactor_view_matches_renorm():
+    """DenseAdj.refactor_view == on-device symmetric renorm over kept edges
+    (ops/graph.bipartite_renorm_weights math), and stays int8-factored."""
+    U, I = 70, 55
+    eu, ei, _ = bipartite_edges(U, I, 700, seed=21)
+    w = laplacian_weights(eu, ei, U, I)
+    adj = d_ops.dense_adj_from_edges(eu, ei, w, U, I)
+    assert adj.factored
+
+    keep = np.random.default_rng(22).random(len(eu)) > 0.3
+    view = adj.refactor_view(jnp.asarray(keep))
+    assert view.factored and view.a_ui.dtype == jnp.int8
+
+    du = np.bincount(eu[keep], minlength=U)
+    di = np.bincount(ei[keep], minlength=I)
+    w_view = np.zeros_like(w)
+    w_view[keep] = 1.0 / np.sqrt(
+        np.maximum(du[eu[keep]] * di[ei[keep]], 1)).astype(np.float32)
+    lap = unified_laplacian(eu, ei, w_view, U, I)
+    x = np.random.default_rng(23).standard_normal((U + I, 8)).astype(np.float32)
+    ref = np.asarray(g_ops.spmm(
+        g_ops.norm_adj_from_scipy(lap, ell=False), jnp.asarray(x)))
+
+    view_f32 = d_ops.DenseAdj(
+        view.a_ui, view.edge_users, view.edge_items, view.edge_w, U, I,
+        view.row_scale, view.col_scale, view.gain, mm_dtype=jnp.float32)
+    out = np.asarray(g_ops.spmm(view_f32, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sgl_e2e_dense_views_match_ell(monkeypatch, tiny_graph_dataset):
+    """SGL trained with the dense path forced (f32) — per-epoch views as
+    refactored int8 blocks — reaches the same metrics as the packed-ELL
+    path (same seed, same keep-mask draws)."""
+    from tests.test_models_e2e import run_model
+
+    monkeypatch.setenv("SELFREC_TPU_DENSE_DTYPE", "float32")
+    monkeypatch.setenv("SELFREC_TPU_DENSE", "0")
+    _, perf_ell = run_model("SGL", tiny_graph_dataset, max_epoch=7)
+    monkeypatch.setenv("SELFREC_TPU_DENSE", "1")
+    _, perf_dense = run_model("SGL", tiny_graph_dataset, max_epoch=7)
+    for k in perf_ell:
+        assert abs(perf_ell[k] - perf_dense[k]) < 2e-3, (
+            k, perf_ell[k], perf_dense[k])
