@@ -142,7 +142,376 @@ def bench_sasrec():
                           "batch=256 max_len=50 blocks=2"}
 
 
-WORKLOADS = {"simgcl": bench_simgcl, "sasrec": bench_sasrec}
+def _graph_workload(model_name, conf_edit=None):
+    """Reference graph recommender + its own data pipeline on the
+    yelp2018-scale synthetic triples (same data bench.py uses)."""
+    from selfrec_tpu.utils.synth import synth_graph_triples
+
+    os.chdir("/root/reference")
+    from util.conf import ModelConf
+
+    t0 = time.time()
+    train, test = synth_graph_triples()
+    print("synth done", time.time() - t0, flush=True)
+    conf = ModelConf(f"./conf/{model_name}.yaml")
+    if conf_edit:
+        conf_edit(conf)
+    train = [list(t) for t in train]
+    test = [list(t) for t in test]
+    return conf, train, test
+
+
+def _epoch_equivalent(n_examples, per_epoch_overhead_s, n_bench_ex, bench_s):
+    """examples/s for a full epoch = epoch examples / (per-epoch host
+    overhead + batch time extrapolated from the measured batch rate)."""
+    batch_rate = n_bench_ex / bench_s
+    return n_examples / (per_epoch_overhead_s + n_examples / batch_rate)
+
+
+def bench_sgl():
+    """Reference SGL (model/graph/SGL.py:24-47): per-epoch host scipy view
+    reconstruction + per-batch clean forward + 2 dropped-view forwards in
+    cal_cl_loss."""
+    conf, train, test = _graph_workload("SGL")
+    from model.graph.SGL import SGL
+    from util.sampler import next_batch_pairwise
+    from util.loss_torch import bpr_loss, l2_reg_loss
+
+    rec = SGL(conf, train, test)
+    model = rec.model
+    opt = torch.optim.Adam(model.parameters(), lr=rec.lRate)
+
+    t0 = time.time()
+    adj1 = model.graph_reconstruction()
+    adj2 = model.graph_reconstruction()
+    t_views = time.time() - t0
+    print("views (host scipy rebuild x2):", t_views, "s", flush=True)
+
+    n_ex, t0 = 0, None
+    for n, batch in enumerate(next_batch_pairwise(rec.data, rec.batch_size)):
+        if n == N_WARM:
+            t0 = time.time()
+            n_ex = 0
+        if n == N_WARM + N_BENCH:
+            break
+        user_idx, pos_idx, neg_idx = batch
+        rec_user_emb, rec_item_emb = model()
+        user_emb, pos_item_emb, neg_item_emb = (
+            rec_user_emb[user_idx], rec_item_emb[pos_idx],
+            rec_item_emb[neg_idx])
+        rec_loss = bpr_loss(user_emb, pos_item_emb, neg_item_emb)
+        cl_loss = rec.cl_rate * model.cal_cl_loss(
+            [user_idx, pos_idx], adj1, adj2)
+        batch_loss = rec_loss + l2_reg_loss(
+            rec.reg, user_emb, pos_item_emb, neg_item_emb) + cl_loss
+        opt.zero_grad()
+        batch_loss.backward()
+        opt.step()
+        if t0 is not None:
+            n_ex += len(user_idx)
+    dt = time.time() - t0
+    n_epoch_ex = len(rec.data.training_data)
+    eps = _epoch_equivalent(n_epoch_ex, t_views, n_ex, dt)
+    print("sgl:", N_BENCH, "batches,", n_ex, "ex,", dt, "s;",
+          "epoch-equivalent", eps, flush=True)
+    return {"examples_per_sec": round(eps, 1), "unit": "examples/s",
+            "conditions": "torch host CPU, yelp2018-scale synthetic, "
+                          "SGL.yaml defaults; epoch-equivalent incl. "
+                          f"{t_views:.1f}s host view rebuild/epoch"}
+
+
+def bench_ncl():
+    """Reference NCL proto phase (model/graph/NCL.py:85-117): faiss k-means
+    e-step per epoch (numpy-Lloyd stand-in, scripts/ref_run.py) + per-batch
+    structural + prototype InfoNCE losses."""
+    # faiss stub with the .index.search surface NCL.py:40 calls
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_run", os.path.join(REPO, "scripts/ref_run.py"))
+    _ref_run_src = open(spec.origin).read().split("def main()")[0]
+    ns = {}
+    exec(compile(_ref_run_src, spec.origin, "exec"), ns)
+
+    conf, train, test = _graph_workload("NCL")
+    from model.graph.NCL import NCL
+    from util.sampler import next_batch_pairwise
+    from util.loss_torch import bpr_loss, l2_reg_loss
+
+    rec = NCL(conf, train, test)
+    model = rec.model
+    opt = torch.optim.Adam(model.parameters(), lr=rec.lRate)
+
+    t0 = time.time()
+    rec.e_step()
+    t_estep = time.time() - t0
+    print("e-step (k-means both tables):", t_estep, "s", flush=True)
+
+    n_ex, t0 = 0, None
+    for n, batch in enumerate(next_batch_pairwise(rec.data, rec.batch_size)):
+        if n == N_WARM:
+            t0 = time.time()
+            n_ex = 0
+        if n == N_WARM + N_BENCH:
+            break
+        user_idx, pos_idx, neg_idx = batch
+        model.train()
+        rec_user_emb, rec_item_emb, emb_list = model()
+        user_emb, pos_item_emb, neg_item_emb = (
+            rec_user_emb[user_idx], rec_item_emb[pos_idx],
+            rec_item_emb[neg_idx])
+        rec_loss = bpr_loss(user_emb, pos_item_emb, neg_item_emb)
+        initial_emb = emb_list[0]
+        context_emb = emb_list[rec.hyper_layers * 2]
+        ssl_loss = rec.ssl_layer_loss(
+            context_emb, initial_emb, user_idx, pos_idx)
+        proto_loss = rec.ProtoNCE_loss(initial_emb, user_idx, pos_idx)
+        batch_loss = (rec_loss + l2_reg_loss(
+            rec.reg, user_emb, pos_item_emb, neg_item_emb) / rec.batch_size
+            + ssl_loss + proto_loss)
+        opt.zero_grad()
+        batch_loss.backward()
+        opt.step()
+        if t0 is not None:
+            n_ex += len(user_idx)
+    dt = time.time() - t0
+    n_epoch_ex = len(rec.data.training_data)
+    eps = _epoch_equivalent(n_epoch_ex, t_estep, n_ex, dt)
+    print("ncl:", N_BENCH, "batches,", n_ex, "ex,", dt, "s;",
+          "epoch-equivalent", eps, flush=True)
+    return {"examples_per_sec": round(eps, 1), "unit": "examples/s",
+            "conditions": "torch host CPU, yelp2018-scale synthetic, "
+                          "NCL.yaml defaults, PROTO phase; epoch-equivalent "
+                          f"incl. {t_estep:.1f}s k-means e-step/epoch "
+                          "(numpy-Lloyd faiss stand-in)"}
+
+
+def bench_mixgcf():
+    """Reference MixGCF (model/graph/MixGCF.py:20-38): n_negs=64 candidate
+    sampling + negative_mixup hard-negative synthesis per batch."""
+    conf, train, test = _graph_workload("MixGCF")
+    from model.graph.MixGCF import MixGCF
+    from util.sampler import next_batch_pairwise
+    from util.loss_torch import bpr_loss, l2_reg_loss
+
+    rec = MixGCF(conf, train, test)
+    model = rec.model
+    opt = torch.optim.Adam(model.parameters(), lr=rec.lRate)
+
+    n_ex, t0 = 0, None
+    for n, batch in enumerate(
+            next_batch_pairwise(rec.data, rec.batch_size, rec.n_negs)):
+        if n == N_WARM:
+            t0 = time.time()
+            n_ex = 0
+        if n == N_WARM + N_BENCH:
+            break
+        user_idx, pos_idx, neg_idx = batch
+        user_emb, pos_item_emb, neg_item_emb = model.negative_mixup(
+            user_idx, pos_idx, neg_idx)
+        batch_loss = bpr_loss(user_emb, pos_item_emb, neg_item_emb) + \
+            l2_reg_loss(rec.reg, user_emb, pos_item_emb,
+                        neg_item_emb) / rec.batch_size
+        opt.zero_grad()
+        batch_loss.backward()
+        opt.step()
+        if t0 is not None:
+            n_ex += len(user_idx)
+    dt = time.time() - t0
+    n_epoch_ex = len(rec.data.training_data)
+    eps = _epoch_equivalent(n_epoch_ex, 0.0, n_ex, dt)
+    print("mixgcf:", N_BENCH, "batches,", n_ex, "ex,", dt, "s", flush=True)
+    return {"examples_per_sec": round(eps, 1), "unit": "examples/s",
+            "conditions": "torch host CPU, yelp2018-scale synthetic, "
+                          "MixGCF.yaml defaults (n_negs=64)"}
+
+
+def bench_mhcn():
+    """Social-engine comparator: the reference MHCN is TF1-only
+    (model/graph/MHCN.py:183-201 — no TF1 in this image), so this is an
+    op-for-op torch transliteration of its build()/train() graph (4-channel
+    gated hypergraph convolution, channel attention, hierarchical MIM,
+    torch.sparse.mm for every tf.sparse_tensor_dense_matmul), trained with
+    Adam on the SAME quarter-douban synthetic workload bench.py's mhcn
+    runs. Motif algebra is the reference's build_hyper_adj_mats
+    (MHCN.py:27-55) verbatim in scipy."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from selfrec_tpu.utils.synth import (
+        DOUBAN_INTERACTIONS, DOUBAN_ITEMS, DOUBAN_USERS,
+        synth_graph_triples, synth_social_triples,
+    )
+
+    os.chdir("/root/reference")
+    from util.conf import ModelConf
+    from data.ui_graph import Interaction
+    from data.social import Relation
+    from util.sampler import next_batch_pairwise
+    from util.loss_torch import bpr_loss
+
+    t0 = time.time()
+    train, test = synth_graph_triples(
+        DOUBAN_USERS // 4, DOUBAN_ITEMS // 4, DOUBAN_INTERACTIONS // 4,
+        seed=1237)
+    social = synth_social_triples(
+        n_users=DOUBAN_USERS // 4, n_relations=169150 // 4)
+    conf = ModelConf("./conf/MHCN.yaml")
+    data = Interaction(conf, [list(t) for t in train], [list(t) for t in test])
+    relation = Relation(conf, [list(t) for t in social], data.user)
+    print("data built", time.time() - t0, flush=True)
+
+    n_layers = int(conf["MHCN"]["n_layer"])
+    ss_rate = float(conf["MHCN"]["ss_rate"])
+    emb_size = int(conf["embedding.size"])
+    l_rate = float(conf["learning.rate"])
+    reg = float(conf["reg.lambda"])
+
+    # --- motif hypergraphs: reference build_hyper_adj_mats (MHCN.py:27-55)
+    t0 = time.time()
+    S = relation.get_social_mat()
+    Y = data.interaction_mat
+    B = S.multiply(S.T)
+    U = S - B
+    C1 = (U.dot(U)).multiply(U.T)
+    A1 = C1 + C1.T
+    C2 = (B.dot(U)).multiply(U.T) + (U.dot(B)).multiply(U.T) + (U.dot(U)).multiply(B)
+    A2 = C2 + C2.T
+    C3 = (B.dot(B)).multiply(U) + (B.dot(U)).multiply(B) + (U.dot(B)).multiply(B)
+    A3 = C3 + C3.T
+    A4 = (B.dot(B)).multiply(B)
+    C5 = (U.dot(U)).multiply(U) + (U.dot(U.T)).multiply(U) + (U.T.dot(U)).multiply(U)
+    A5 = C5 + C5.T
+    A6 = (U.dot(B)).multiply(U) + (B.dot(U.T)).multiply(U.T) + (U.T.dot(U)).multiply(B)
+    A7 = (U.T.dot(B)).multiply(U.T) + (B.dot(U)).multiply(U) + (U.dot(U.T)).multiply(B)
+    A8 = (Y.dot(Y.T)).multiply(B)
+    A9 = (Y.dot(Y.T)).multiply(U)
+    A9 = A9 + A9.T
+    A10 = Y.dot(Y.T) - A8 - A9
+    H_s = sum([A1, A2, A3, A4, A5, A6, A7])
+    H_s = H_s.multiply(1.0 / np.maximum(H_s.sum(axis=1).reshape(-1, 1), 1e-12))
+    H_j = sum([A8, A9])
+    H_j = H_j.multiply(1.0 / np.maximum(H_j.sum(axis=1).reshape(-1, 1), 1e-12))
+    H_p = A10.multiply(A10 > 3)
+    H_p = H_p.multiply(1.0 / np.maximum(H_p.sum(axis=1).reshape(-1, 1), 1e-12))
+    print("motifs", time.time() - t0, "s", flush=True)
+
+    def to_torch(m):
+        coo = sp.coo_matrix(m)
+        idx = torch.LongTensor(np.vstack([coo.row, coo.col]))
+        return torch.sparse_coo_tensor(
+            idx, torch.FloatTensor(coo.data.astype(np.float32)),
+            coo.shape).coalesce()
+
+    H_s_t, H_j_t, H_p_t = to_torch(H_s), to_torch(H_j), to_torch(H_p)
+    R_t = to_torch(data.normalize_graph_mat(data.interaction_mat))
+    R_T_t = to_torch(data.normalize_graph_mat(data.interaction_mat).T)
+
+    n_u, n_i = data.user_num, data.item_num
+    g = torch.Generator().manual_seed(0)
+    P = {
+        "user_emb": torch.nn.Parameter(torch.nn.init.xavier_uniform_(
+            torch.empty(n_u, emb_size))),
+        "item_emb": torch.nn.Parameter(torch.nn.init.xavier_uniform_(
+            torch.empty(n_i, emb_size))),
+        "attention": torch.nn.Parameter(torch.nn.init.xavier_uniform_(
+            torch.empty(1, emb_size))),
+        "attention_mat": torch.nn.Parameter(torch.nn.init.xavier_uniform_(
+            torch.empty(emb_size, emb_size))),
+    }
+    for c in range(1, 5):
+        for pre in ("gating", "sgating"):
+            P[f"{pre}{c}"] = torch.nn.Parameter(torch.nn.init.xavier_uniform_(
+                torch.empty(emb_size, emb_size)))
+            P[f"{pre}_bias{c}"] = torch.nn.Parameter(
+                torch.nn.init.xavier_uniform_(torch.empty(1, emb_size)))
+
+    def gate(em, c, pre="gating"):
+        return em * torch.sigmoid(em @ P[f"{pre}{c}"] + P[f"{pre}_bias{c}"])
+
+    def attention(*chans):
+        ws = [((P["attention"] * (e @ P["attention_mat"])).sum(1))
+              for e in chans]
+        score = torch.softmax(torch.stack(ws, dim=1), dim=1)
+        return sum(score[:, i:i + 1] * chans[i] for i in range(len(chans))), score
+
+    def mim(em, adj):
+        def row_shuffle(e):
+            return e[torch.randperm(e.shape[0], generator=g)]
+        def row_col_shuffle(e):
+            e2 = e[:, torch.randperm(e.shape[1], generator=g)]
+            return e2[torch.randperm(e2.shape[0], generator=g)]
+        edge = torch.sparse.mm(adj, em)
+        pos = (em * edge).sum(1)
+        neg1 = (row_shuffle(em) * edge).sum(1)
+        neg2 = (row_col_shuffle(edge) * em).sum(1)
+        local = (-torch.log(torch.sigmoid(pos - neg1))
+                 - torch.log(torch.sigmoid(neg1 - neg2))).sum()
+        graph = edge.mean(0)
+        pos_g = (edge * graph).sum(1)
+        neg1_g = (row_col_shuffle(edge) * graph).sum(1)
+        return local + (-torch.log(torch.sigmoid(pos_g - neg1_g))).sum()
+
+    def forward():
+        u1, u2, u3 = (gate(P["user_emb"], c) for c in (1, 2, 3))
+        simple = gate(P["user_emb"], 4)
+        item = P["item_emb"]
+        a1, a2, a3, a_s, a_i = [u1], [u2], [u3], [simple], [item]
+        for _ in range(n_layers):
+            mixed = attention(u1, u2, u3)[0] + simple / 2
+            u1 = torch.sparse.mm(H_s_t, u1)
+            a1.append(torch.nn.functional.normalize(u1, dim=1))
+            u2 = torch.sparse.mm(H_j_t, u2)
+            a2.append(torch.nn.functional.normalize(u2, dim=1))
+            u3 = torch.sparse.mm(H_p_t, u3)
+            a3.append(torch.nn.functional.normalize(u3, dim=1))
+            new_item = torch.sparse.mm(R_T_t, mixed)
+            a_i.append(torch.nn.functional.normalize(new_item, dim=1))
+            simple = torch.sparse.mm(R_t, item)
+            a_s.append(torch.nn.functional.normalize(simple, dim=1))
+            item = new_item
+        u1, u2, u3 = (torch.stack(a).sum(0) for a in (a1, a2, a3))
+        simple = torch.stack(a_s).sum(0)
+        item = torch.stack(a_i).sum(0)
+        final_u = attention(u1, u2, u3)[0] + simple / 2
+        ss = (mim(gate(final_u, 1, "sgating"), H_s_t)
+              + mim(gate(final_u, 2, "sgating"), H_j_t)
+              + mim(gate(final_u, 3, "sgating"), H_p_t))
+        return final_u, item, ss_rate * ss
+
+    opt = torch.optim.Adam(P.values(), lr=l_rate)
+    n_ex, t0 = 0, None
+    for n, batch in enumerate(next_batch_pairwise(data, 2048)):
+        if n == N_WARM:
+            t0 = time.time()
+            n_ex = 0
+        if n == N_WARM + N_BENCH:
+            break
+        user_idx, pos_idx, neg_idx = batch
+        final_u, final_i, ss_loss = forward()
+        ue, pe, ne = final_u[user_idx], final_i[pos_idx], final_i[neg_idx]
+        rec_loss = bpr_loss(ue, pe, ne)
+        reg_loss = reg * sum((w ** 2).sum() / 2 for w in P.values())
+        reg_loss = reg_loss + reg * ((ue ** 2).sum() / 2 + (pe ** 2).sum() / 2
+                                     + (ne ** 2).sum() / 2)
+        loss = rec_loss + reg_loss + ss_loss
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if t0 is not None:
+            n_ex += len(user_idx)
+    dt = time.time() - t0
+    eps = n_ex / dt
+    print("mhcn:", N_BENCH, "batches,", n_ex, "ex,", dt, "s", flush=True)
+    return {"examples_per_sec": round(eps, 1), "unit": "examples/s",
+            "conditions": "torch host CPU transliteration of the TF1 "
+                          "reference (MHCN.py:57-201 op-for-op, "
+                          "torch.sparse.mm), quarter-douban synthetic"}
+
+
+WORKLOADS = {"simgcl": bench_simgcl, "sasrec": bench_sasrec,
+             "sgl": bench_sgl, "ncl": bench_ncl, "mixgcf": bench_mixgcf,
+             "mhcn": bench_mhcn}
 
 
 def main():
