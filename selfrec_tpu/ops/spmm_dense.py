@@ -256,12 +256,17 @@ def dense_spmm(adj: DenseAdj, x: jnp.ndarray) -> jnp.ndarray:
     """Unified-node-space propagation: x is ((U+I), D) in [users; items]
     order (same contract as the sparse paths); returns [A @ x_i ; A.T @ x_u].
 
-    Both matmuls stream the SAME (U, I) buffer. In factored mode the block
-    is the int8 binary incidence (XLA fuses the int8->bf16 convert into the
-    matmul operand load, so HBM traffic is 1 byte/entry) and the exact f32
-    normalization wraps the matmul:
+    Both matmuls stream the SAME (U, I) buffer. In factored mode the s8
+    binary incidence feeds ``dot_general`` DIRECTLY (mixed s8 x bf16
+    operands — the TPU backend converts tiles on load, HBM traffic stays
+    1 byte/entry) and the exact f32 normalization wraps the matmul:
         out_u = gain * ru . (B @ (ci . x_i))
         out_i = gain * ci . (B' @ (ru . x_u))
+    Measured (tunnel-honest marginal timing, scripts/bench_dense_roofline
+    .py, DENSE_ROOFLINE.json): 5.1-5.3 ms for the D=192 bidirectional pass
+    at yelp2018 scale = 89-93% of the 4.70 ms MXU floor — i.e. this op runs
+    at the bf16 MXU speed of light; an explicitly pipelined dual-direction
+    Pallas kernel measured 9.0 ms and lost to XLA's schedule.
     In generic mode the operand is cast to the block dtype so the MXU runs
     native bf16 x bf16 -> f32 (a f32 operand would force XLA to decompose
     the matmul into 3x bf16 passes and triple the FLOPs for no accuracy it
@@ -270,13 +275,20 @@ def dense_spmm(adj: DenseAdj, x: jnp.ndarray) -> jnp.ndarray:
     xi = x[adj.n_users :]
     if adj.factored:
         mmd = adj.mm_dtype
-        b = adj.a_ui.astype(mmd)
+        b = adj.a_ui
+        if mmd == jnp.float32:
+            # forced-f32 comparison mode: convert explicitly so the dot is
+            # a true f32 x f32 (mixed s8 x f32 would be lowered bf16-ish)
+            b = b.astype(mmd)
         ru = adj.row_scale[:, None] * adj.gain
         ci = adj.col_scale[:, None]
-        out_u = ru * jnp.dot(b, (ci * xi).astype(mmd),
-                             preferred_element_type=jnp.float32)
-        out_i = ci * jnp.dot(b.T, (ru * xu).astype(mmd),
-                             preferred_element_type=jnp.float32)
+        dims = (((1,), (0,)), ((), ()))
+        out_u = ru * jax.lax.dot_general(
+            b, (ci * xi).astype(mmd), dims,
+            preferred_element_type=jnp.float32)
+        out_i = ci * jax.lax.dot_general(
+            b.T, (ru * xu).astype(mmd), dims,
+            preferred_element_type=jnp.float32)
     else:
         out_u = jnp.dot(adj.a_ui, xi.astype(adj.a_ui.dtype),
                         preferred_element_type=jnp.float32)

@@ -289,7 +289,13 @@ def _mm_apply(adj: ShardedDenseAdj, xu: jnp.ndarray, xi: jnp.ndarray):
     mesh = adj.mesh
 
     def f(b, xu_blk, xi_blk):
-        b = b.reshape(u_pad, i_blk).astype(mmd)
+        b = b.reshape(u_pad, i_blk)
+        if b.dtype != jnp.int8 or mmd == jnp.float32:
+            # generic value block, or forced-f32 comparison mode; the s8
+            # incidence otherwise feeds dot_general directly (mixed
+            # s8 x bf16 — same as the single-device path, see
+            # ops/spmm_dense.dense_spmm)
+            b = b.astype(mmd)
         d_idx = jax.lax.axis_index(DATA_AXIS)
         xi_loc = jax.lax.dynamic_slice_in_dim(
             xi_blk, d_idx * i_blk, i_blk, axis=0).astype(mmd)
