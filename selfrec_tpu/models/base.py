@@ -240,7 +240,8 @@ class GraphRecommender(_FastEvalMixin, Recommender):
             block_size=self.eval_block_size)
         offsets, items = self.data.test_gt_csr()
         return metrics.ranking_evaluation_ids(
-            offsets, items, top_ids, [self.max_N], self.data.item_num)
+            offsets, items, top_ids, [self.max_N], self.data.item_num,
+            sorted_test_keys=self.data.test_gt_sorted_keys())
 
     def evaluate(self, rec_list):
         self.rec_output.append(

@@ -49,6 +49,15 @@ def _dense_dtype():
     return jnp.dtype(name)
 
 
+def _generic_dtype():
+    """Value-block dtype for NON-factored mode: the int8 opt-in only makes
+    sense for the factored form (binary incidence x quantized operand);
+    arbitrary per-edge weights scattered into an s8 block would be garbage,
+    so generic blocks fall back to bf16."""
+    d = _dense_dtype()
+    return jnp.dtype(jnp.bfloat16) if d == jnp.int8 else d
+
+
 @jax.tree_util.register_pytree_node_class
 class DenseAdj:
     """Bipartite normalized adjacency held as a dense (U, I) block.
@@ -107,7 +116,7 @@ class DenseAdj:
         the dense analog of EllAdj.reweight, used by adj_dropout and
         per-epoch renormalized views. One on-device scatter; the result is
         generic-mode (arbitrary weights don't factor into diag scalings)."""
-        dtype = _dense_dtype() if self.factored else self.a_ui.dtype
+        dtype = _generic_dtype() if self.factored else self.a_ui.dtype
         a = _scatter_dense(self.edge_users, self.edge_items, w,
                            self.n_users, self.n_items, dtype)
         return DenseAdj(a, self.edge_users, self.edge_items, w,
@@ -205,7 +214,7 @@ def dense_adj_from_edges(edge_users, edge_items, w, n_users: int,
             return DenseAdj(b, eu, ei, w32, n_users, n_items,
                             jnp.asarray(ru), jnp.asarray(ci),
                             jnp.float32(gain), mm_dtype=_dense_dtype())
-        dtype = _dense_dtype()
+        dtype = _generic_dtype()
     a = _scatter_dense(eu, ei, w32, n_users, n_items, dtype)
     return DenseAdj(a, eu, ei, w32, n_users, n_items)
 
@@ -252,6 +261,74 @@ def bipartite_blocks(coo, n_users: int):
     return eu, ei, w
 
 
+def _quant_per_channel(y: jnp.ndarray):
+    """Symmetric per-channel (per-D-column) int8 quantization.
+
+    scale_d = max|y[:, d]| / 127; yq = round(y / scale) in [-127, 127].
+    Returns (yq int8, scale f32 (1, D)). Zero columns get scale 1 (all-zero
+    quantized column -> exact zeros back)."""
+    amax = jnp.max(jnp.abs(y), axis=0, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    yq = jnp.clip(jnp.round(y / scale), -127, 127).astype(jnp.int8)
+    return yq, scale
+
+
+def _dense_spmm_int8_apply(adj: "DenseAdj", x: jnp.ndarray) -> jnp.ndarray:
+    """int8 x int8 MXU propagation (opt-in, ``SELFREC_TPU_DENSE_DTYPE=int8``).
+
+    The binary incidence is ALREADY s8, so quantizing the streamed operand
+    per-channel to s8 makes both matmuls native int8 MXU ops — 394 TOPS on
+    v5e vs 197 TFLOPS bf16, i.e. a 2x compute-floor drop for the dominant
+    cost of every LightGCN-family step (reference hot op LightGCN.py:72).
+    Accumulation is s32 and EXACT: products are <= 127 (B is 0/1) and row
+    degrees < 2^24, so the only approximation is the operand quantization
+    itself (per-channel absolute error <= scale/2 = max|y_d|/254 — same
+    order as bf16's relative 0.4%, but absolute across the column; quality
+    must be convergence-validated per model, see BASELINE.md round 3).
+    """
+    xu = x[: adj.n_users]
+    xi = x[adj.n_users :]
+    ru = adj.row_scale[:, None] * adj.gain
+    ci = adj.col_scale[:, None]
+    dims = (((1,), (0,)), ((), ()))
+    yq, ys = _quant_per_channel(ci * xi)
+    out_u = ru * (jax.lax.dot_general(
+        adj.a_ui, yq, dims, preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * ys)
+    zq, zs = _quant_per_channel(ru * xu)
+    out_i = ci * (jax.lax.dot_general(
+        adj.a_ui.T, zq, dims, preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * zs)
+    return jnp.concatenate([out_u, out_i], axis=0).astype(x.dtype)
+
+
+@jax.custom_vjp
+def _dense_spmm_int8(adj: "DenseAdj", x: jnp.ndarray) -> jnp.ndarray:
+    return _dense_spmm_int8_apply(adj, x)
+
+
+def _int8_fwd(adj, x):
+    return _dense_spmm_int8_apply(adj, x), adj
+
+
+def _int8_bwd(adj, g):
+    # the unified Laplacian is symmetric, so the cotangent propagates
+    # through the SAME kernel; quantization is handled straight-through
+    # (the op is linear in x up to the rounding step)
+    import numpy as np
+
+    zero_adj = jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        if jnp.issubdtype(a.dtype, jnp.integer)
+        else jnp.zeros_like(a),
+        adj,
+    )
+    return zero_adj, _dense_spmm_int8_apply(adj, g)
+
+
+_dense_spmm_int8.defvjp(_int8_fwd, _int8_bwd)
+
+
 def dense_spmm(adj: DenseAdj, x: jnp.ndarray) -> jnp.ndarray:
     """Unified-node-space propagation: x is ((U+I), D) in [users; items]
     order (same contract as the sparse paths); returns [A @ x_i ; A.T @ x_u].
@@ -273,6 +350,8 @@ def dense_spmm(adj: DenseAdj, x: jnp.ndarray) -> jnp.ndarray:
     keeps)."""
     xu = x[: adj.n_users]
     xi = x[adj.n_users :]
+    if adj.factored and adj.mm_dtype == jnp.int8:
+        return _dense_spmm_int8(adj, x)
     if adj.factored:
         mmd = adj.mm_dtype
         b = adj.a_ui

@@ -238,6 +238,12 @@ def build_sharded_dense(edge_users, edge_items, w, n_users: int,
 
     fac = _try_factor(eu, ei, w_np, n_users, n_items)
     mm_dtype = _dense_dtype()
+    if mm_dtype == jnp.int8:
+        # the int8 x int8 quantized-operand mode (ops/spmm_dense
+        # ._dense_spmm_int8) is single-device-only for now; the sharded
+        # kernel computes in bf16 (raw-casting float operands to s8 here
+        # would be garbage, not quantization)
+        mm_dtype = jnp.dtype(jnp.bfloat16)
     if fac is not None:
         ru, ci, gain = fac
         ones = jnp.concatenate(

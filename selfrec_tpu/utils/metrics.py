@@ -102,7 +102,8 @@ def ranking_evaluation(origin: Origin, res: RecList, top_ns: Sequence[int]) -> L
 
 
 def ranking_evaluation_ids(
-    test_offsets, test_items, top_ids, top_ns: Sequence[int], n_items: int
+    test_offsets, test_items, top_ids, top_ns: Sequence[int], n_items: int,
+    sorted_test_keys=None,
 ) -> List[str]:
     """Vectorized ``ranking_evaluation`` over internal integer ids.
 
@@ -136,10 +137,16 @@ def ranking_evaluation_ids(
             "test user with zero ground-truth items in ranking_evaluation_ids")
     total_num = int(len_u.sum())
 
-    row_of_test = np.repeat(np.arange(n_users, dtype=np.int64), len_u)
-    test_keys = row_of_test * n_items + test_items
+    if sorted_test_keys is None:
+        # callers that eval per-epoch should precompute this once: np.isin
+        # re-sorts the (row*n_items + item) ground-truth keys every call
+        # (see Interaction.test_gt_sorted_keys)
+        row_of_test = np.repeat(np.arange(n_users, dtype=np.int64), len_u)
+        sorted_test_keys = np.sort(row_of_test * n_items + test_items)
     top_keys = np.arange(n_users, dtype=np.int64)[:, None] * n_items + top_ids
-    hit_mask = np.isin(top_keys.ravel(), test_keys).reshape(n_users, K)
+    pos = np.searchsorted(sorted_test_keys, top_keys.ravel())
+    pos = np.minimum(pos, len(sorted_test_keys) - 1)
+    hit_mask = (sorted_test_keys[pos] == top_keys.ravel()).reshape(n_users, K)
 
     w = 1.0 / np.log2(np.arange(K, dtype=np.float64) + 2.0)
     cum_w = np.concatenate([[0.0], np.cumsum(w)])

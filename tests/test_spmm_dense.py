@@ -350,3 +350,52 @@ def test_sgl_e2e_dense_views_match_ell(monkeypatch, tiny_graph_dataset):
     for k in perf_ell:
         assert abs(perf_ell[k] - perf_dense[k]) < 2e-3, (
             k, perf_ell[k], perf_dense[k])
+
+
+def test_int8_quantized_mode_accuracy_and_grad():
+    """Opt-in int8 x int8 mode (SELFREC_TPU_DENSE_DTYPE=int8): per-channel
+    quantized operand, s32-exact accumulate. Forward within per-channel
+    quantization tolerance of the f32 oracle; VJP is the symmetric apply
+    (straight-through), so grad == int8-forward of the cotangent."""
+    U, I = 100, 80
+    eu, ei, _ = bipartite_edges(U, I, 1200, seed=8)
+    w = laplacian_weights(eu, ei, U, I)
+    adj = d_ops.dense_adj_from_edges(eu, ei, w, U, I)
+    adj8 = d_ops.DenseAdj(
+        adj.a_ui, adj.edge_users, adj.edge_items, adj.edge_w, U, I,
+        adj.row_scale, adj.col_scale, adj.gain, mm_dtype=jnp.int8)
+
+    lap = unified_laplacian(eu, ei, w, U, I)
+    x = np.random.default_rng(9).standard_normal((U + I, 16)).astype(np.float32)
+    ref = np.asarray(g_ops.spmm(
+        g_ops.norm_adj_from_scipy(lap, ell=False), jnp.asarray(x)))
+    out = np.asarray(g_ops.spmm(adj8, jnp.asarray(x)))
+    # per-channel absolute error bound: row_scale*col_scale sums scale the
+    # operand's max/254 step; empirically well under 1% of the column max
+    col_max = np.abs(ref).max(axis=0, keepdims=True)
+    assert np.max(np.abs(out - ref) / np.maximum(col_max, 1e-6)) < 0.02
+
+    g = np.random.default_rng(10).standard_normal(ref.shape).astype(np.float32)
+    pull = jax.grad(
+        lambda xx: jnp.vdot(g_ops.spmm(adj8, xx), jnp.asarray(g)))(
+        jnp.asarray(x))
+    expected = g_ops.spmm(adj8, jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(pull), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int8_env_does_not_poison_generic_blocks(monkeypatch):
+    """SELFREC_TPU_DENSE_DTYPE=int8 must not scatter arbitrary float
+    weights into an s8 block — generic mode falls back to bf16."""
+    monkeypatch.setenv("SELFREC_TPU_DENSE_DTYPE", "int8")
+    U, I = 40, 30
+    eu, ei, w = bipartite_edges(U, I, 200, seed=10)
+    adj = d_ops.dense_adj_from_edges(eu, ei, w, U, I)
+    assert not adj.factored and adj.a_ui.dtype == jnp.bfloat16
+    # reweight of a factored adj likewise lands on bf16
+    eu2, ei2, _ = bipartite_edges(U, I, 200, seed=11)
+    w2 = laplacian_weights(eu2, ei2, U, I)
+    fac = d_ops.dense_adj_from_edges(eu2, ei2, w2, U, I)
+    assert fac.factored and fac.mm_dtype == jnp.int8
+    rw = fac.reweight(jnp.asarray(w2 * 0.5))
+    assert rw.a_ui.dtype == jnp.bfloat16
