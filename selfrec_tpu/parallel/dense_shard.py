@@ -121,8 +121,12 @@ class ShardedDenseAdj:
     def reweight(self, w: jnp.ndarray) -> "ShardedDenseAdj":
         """New adjacency with per-edge weights ``w`` (original edge order):
         one LOCAL scatter per device, no cross-device traffic (each device
-        rebuilds only its column slice). Generic mode result."""
+        rebuilds only its column slice). Generic mode result — arbitrary
+        weights never land in an s8 block, so int8 quantized mode falls
+        back to bf16 here (mirrors spmm_dense._generic_dtype)."""
         dtype = self.mm_dtype
+        if dtype == jnp.int8:
+            dtype = jnp.dtype(jnp.bfloat16)
         w_pad = jnp.concatenate([w.astype(dtype), jnp.zeros((1,), dtype)])
         b = _scatter_blocks(self.eu_dev, self.ei_dev, w_pad[self.eid_dev],
                             self.u_pad, self.i_blk, dtype, self.mesh)
@@ -130,7 +134,7 @@ class ShardedDenseAdj:
             b, self.eu_dev, self.ei_dev, self.eid_dev,
             self.edge_users, self.edge_items, w,
             None, None, None, self.n_users, self.n_items,
-            self.u_pad, self.i_pad, self.mesh, self.mm_dtype)
+            self.u_pad, self.i_pad, self.mesh, dtype)
 
     def refactor_view(self, keep: jnp.ndarray) -> "ShardedDenseAdj":
         """Symmetric-renormalized dropped view that STAYS int8-factored:
@@ -238,11 +242,11 @@ def build_sharded_dense(edge_users, edge_items, w, n_users: int,
 
     fac = _try_factor(eu, ei, w_np, n_users, n_items)
     mm_dtype = _dense_dtype()
-    if mm_dtype == jnp.int8:
-        # the int8 x int8 quantized-operand mode (ops/spmm_dense
-        # ._dense_spmm_int8) is single-device-only for now; the sharded
-        # kernel computes in bf16 (raw-casting float operands to s8 here
-        # would be garbage, not quantization)
+    if mm_dtype == jnp.int8 and fac is None:
+        # int8 quantized mode only applies to the factored form (binary
+        # incidence x per-channel-quantized operand); scattering arbitrary
+        # float weights into an s8 block would be garbage, so generic
+        # blocks fall back to bf16 (mirrors spmm_dense._generic_dtype)
         mm_dtype = jnp.dtype(jnp.bfloat16)
     if fac is not None:
         ru, ci, gain = fac
@@ -288,30 +292,52 @@ def fits_sharded_dense(n_users: int, n_items: int, mesh: Mesh) -> bool:
 def _mm_apply(adj: ShardedDenseAdj, xu: jnp.ndarray, xi: jnp.ndarray):
     """Raw sharded bidirectional matmul: xu (U_pad, D) model-row-sharded,
     xi (I_pad, D) model-row-sharded -> (out_u (U_pad, D), out_i (I_pad, D)),
-    both model-row-sharded, data-replicated. No normalization here."""
+    both model-row-sharded, data-replicated. No normalization here.
+
+    int8 quantized mode (factored block + ``mm_dtype == int8``) needs NO
+    extra collectives: each device per-channel-quantizes its LOCAL operand
+    slice (ops/spmm_dense._quant_per_channel), runs the native s8 x s8 MXU
+    matmul with s32-exact accumulation, and dequantizes to f32 with its
+    local scale BEFORE the psum — partials sum in f32 exactly as in bf16
+    mode, and per-device scales are strictly finer-grained than a global
+    amax (no cross-device max reduction needed)."""
     nd, nm = adj.grid
     u_pad, i_blk = adj.u_pad, adj.i_blk
     mmd = adj.mm_dtype
     mesh = adj.mesh
 
     def f(b, xu_blk, xi_blk):
+        from selfrec_tpu.ops.spmm_dense import _quant_per_channel
+
         b = b.reshape(u_pad, i_blk)
+        quant = b.dtype == jnp.int8 and mmd == jnp.int8
         if b.dtype != jnp.int8 or mmd == jnp.float32:
             # generic value block, or forced-f32 comparison mode; the s8
             # incidence otherwise feeds dot_general directly (mixed
             # s8 x bf16 — same as the single-device path, see
             # ops/spmm_dense.dense_spmm)
             b = b.astype(mmd)
+        dims = (((1,), (0,)), ((), ()))
+
+        def mm(lhs, y):
+            if quant:
+                yq, ys = _quant_per_channel(y)
+                return jax.lax.dot_general(
+                    lhs, yq, dims, preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * ys
+            return jnp.dot(lhs, y.astype(mmd),
+                           preferred_element_type=jnp.float32)
+
         d_idx = jax.lax.axis_index(DATA_AXIS)
         xi_loc = jax.lax.dynamic_slice_in_dim(
-            xi_blk, d_idx * i_blk, i_blk, axis=0).astype(mmd)
-        pu = jnp.dot(b, xi_loc, preferred_element_type=jnp.float32)
+            xi_blk, d_idx * i_blk, i_blk, axis=0)
+        pu = mm(b, xi_loc)
         out_u = jax.lax.psum_scatter(
             pu, MODEL_AXIS, scatter_dimension=0, tiled=True)
         out_u = jax.lax.psum(out_u, DATA_AXIS)
         xu_full = jax.lax.all_gather(
-            xu_blk, MODEL_AXIS, axis=0, tiled=True).astype(mmd)
-        pi = jnp.dot(b.T, xu_full, preferred_element_type=jnp.float32)
+            xu_blk, MODEL_AXIS, axis=0, tiled=True)
+        pi = mm(b.T, xu_full)
         out_i = jax.lax.all_gather(pi, DATA_AXIS, axis=0, tiled=True)
         return out_u, out_i
 

@@ -212,3 +212,47 @@ def test_sgl_sharded_dense_views_match_single(monkeypatch, tiny_graph_dataset):
 
     np.testing.assert_allclose(runs["single"], runs["dp_tp"],
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+def test_int8_quantized_sharded_mode(monkeypatch, shape):
+    """SELFREC_TPU_DENSE_DTYPE=int8 on a mesh: per-device local per-channel
+    quantization, s8 x s8 matmuls, f32 dequant BEFORE the psum. Forward
+    within quantization tolerance of the edge-list oracle; VJP is the
+    symmetric straight-through apply; generic reweight falls back to bf16
+    (never raw-casts floats into the s8 block)."""
+    monkeypatch.setenv("SELFREC_TPU_DENSE_DTYPE", "int8")
+    U, I, D = 41, 57, 8
+    eu, ei, w = bipartite(U, I, 500, seed=7)
+    x = np.random.default_rng(8).standard_normal((U + I, D)).astype(np.float32)
+    mesh = build_mesh(*shape)
+    adj = ds.build_sharded_dense(eu, ei, w, U, I, mesh)
+    assert adj.factored and adj.b.dtype == jnp.int8
+    assert adj.mm_dtype == jnp.int8
+
+    ref = edge_ref(eu, ei, w, U, I, x)
+    out = np.asarray(ds.sharded_dense_spmm(adj, jnp.asarray(x)))
+    col_max = np.abs(ref).max(axis=0, keepdims=True)
+    assert np.max(np.abs(out - ref) / np.maximum(col_max, 1e-6)) < 0.02
+
+    # straight-through VJP: pullback == quantized forward of the cotangent
+    g = np.random.default_rng(9).standard_normal(ref.shape).astype(np.float32)
+    pull = jax.grad(
+        lambda xx: jnp.vdot(ds.sharded_dense_spmm(adj, xx), jnp.asarray(g)))(
+        jnp.asarray(x))
+    expected = ds.sharded_dense_spmm(adj, jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(pull), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+    # generic reweight must land on bf16, and still be numerically right
+    w2 = (w * 1.7).astype(np.float32)
+    rw = adj.reweight(jnp.asarray(w2))
+    assert rw.b.dtype == jnp.bfloat16 and rw.mm_dtype == jnp.bfloat16
+    out2 = np.asarray(ds.sharded_dense_spmm(rw, jnp.asarray(x)))
+    ref2 = edge_ref(eu, ei, w2, U, I, x)
+    assert np.max(np.abs(out2 - ref2)) < 0.05  # bf16 value-block tolerance
+
+    # factored dropped view keeps the quantized fast path
+    keep = np.random.default_rng(10).random(len(w)) > 0.3
+    view = adj.refactor_view(jnp.asarray(keep))
+    assert view.factored and view.mm_dtype == jnp.int8
