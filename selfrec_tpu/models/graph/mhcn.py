@@ -43,10 +43,18 @@ class MHCN(JAXGraphRecommender):
         h_s, h_j, h_p = mhcn_hypergraphs(
             self.social_data.get_social_mat(), self.data.interaction_mat
         )
-        self.H = [self.shard_adj(norm_adj_from_scipy(h)) for h in (h_s, h_j, h_p)]
+        # All five adjacencies are STATIC across training, so on a single
+        # device they ride the generic dense MXU backend (DenseMat: one
+        # bf16 matmul per channel per layer instead of an ELL gather chain
+        # — reference TF1 sparse matmuls, MHCN.py:183-201). Under a mesh
+        # they stay on the ELL/halo path (shard_adj contract).
+        dg = self.mesh is None
+        self.H = [self.shard_adj(norm_adj_from_scipy(h, dense_general=dg))
+                  for h in (h_s, h_j, h_p)]
         r_norm = normalize_graph_mat(self.data.interaction_mat)  # D^-1 R
-        self.R = self.shard_adj(norm_adj_from_scipy(r_norm))
-        self.Rt = self.shard_adj(norm_adj_from_scipy(r_norm.T.tocsr()))
+        self.R = self.shard_adj(norm_adj_from_scipy(r_norm, dense_general=dg))
+        self.Rt = self.shard_adj(
+            norm_adj_from_scipy(r_norm.T.tocsr(), dense_general=dg))
 
     def print_model_info(self):
         super().print_model_info()

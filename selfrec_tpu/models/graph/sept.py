@@ -28,6 +28,8 @@ from selfrec_tpu.ops import losses
 from selfrec_tpu.ops.graph import (
     bipartite_renorm_weights,
     build_bipartite_ell_template,
+    dense_general_available,
+    norm_adj_from_scipy,
     spmm,
     spmm_packed,
     union_ell_template,
@@ -44,6 +46,7 @@ class SEPT(JAXGraphRecommender):
     # the jitted epoch as scan-invariant arguments (see base epoch_fn)
     scan_const_attrs = JAXGraphRecommender.scan_const_attrs + (
         "_view_template", "_w_rec", "_social_template", "_social_w_stack",
+        "_social_d1", "_social_d2", "_aug_view",
     )
 
     def __init__(self, conf, training_set, test_set, **kwargs):
@@ -61,36 +64,69 @@ class SEPT(JAXGraphRecommender):
             self.data.user_num,
         )
         self.adj = self.make_adj()
-        # friend + sharing views packed over their UNION layout: both
-        # patterns are (·)⊙S + I (SEPT.py:33-40), so the union costs barely
-        # more slots than one view while halving the gather-chain count
-        # (the TPU gather is per-slot-bound, BASELINE.md round 2).
-        social_template, social_w = union_ell_template(
-            [social_view, sharing_view]
-        )
-        self._social_template = self.shard_adj(social_template)
-        self._social_w_stack = social_w
         self._edge_users_dev = jnp.asarray(self.data.edge_users)
         self._edge_items_dev = jnp.asarray(self.data.edge_items)
-        self._view_template = self.shard_adj(
-            build_bipartite_ell_template(
-                self.data.edge_users,
-                self.data.edge_items,
+        self._social_template = self._social_w_stack = None
+        self._view_template = self._w_rec = None
+        self._social_d1 = self._social_d2 = self._aug_view = None
+
+        # Both social views are STATIC (U, U) matrices — on a single device
+        # they ride the generic dense MXU backend (one matmul per view per
+        # layer — same DenseMat treatment as MHCN's channels). Under a mesh
+        # or over budget: friend + sharing pack over their UNION ELL layout
+        # (both patterns are (·)⊙S + I, SEPT.py:33-40, so the union costs
+        # barely more slots than one view while halving the gather-chain
+        # count — the TPU gather is per-slot-bound, BASELINE.md round 2).
+        nu = self.data.user_num
+        if self.mesh is None and dense_general_available(nu, nu):
+            self._social_d1 = norm_adj_from_scipy(
+                social_view, dense_general=True)
+            self._social_d2 = norm_adj_from_scipy(
+                sharing_view, dense_general=True)
+        else:
+            social_template, social_w = union_ell_template(
+                [social_view, sharing_view]
+            )
+            self._social_template = self.shard_adj(social_template)
+            self._social_w_stack = social_w
+
+        if self._dense_views():
+            # rec chain runs on the clean dense adj; the per-epoch
+            # augmented view is refactored as a fresh int8-factored block
+            # (DenseAdj.refactor_view — the dropped renorm factors exactly,
+            # same pattern as SGL's dense views)
+            from selfrec_tpu.ops.spmm_dense import adj_edge_perm
+
+            self._edge_perm = jnp.asarray(adj_edge_perm(
+                self.adj, self.data.edge_users, self.data.edge_items,
+                self.data.item_num))
+        else:
+            self._view_template = self.shard_adj(
+                build_bipartite_ell_template(
+                    self.data.edge_users,
+                    self.data.edge_items,
+                    self.data.user_num,
+                    self.data.item_num,
+                )
+            )
+            # static clean-graph weights in the template's edge order —
+            # equal to data.norm_adj's values, letting the rec chain share
+            # the template's layout with the per-epoch augmented view
+            # (packed in batch_loss)
+            self._w_rec = bipartite_renorm_weights(
+                self._edge_users_dev,
+                self._edge_items_dev,
+                jnp.ones(self.data.n_edges, dtype=bool),
                 self.data.user_num,
                 self.data.item_num,
             )
-        )
-        # static clean-graph weights in the template's edge order — equal to
-        # data.norm_adj's values, letting the rec chain share the template's
-        # layout with the per-epoch augmented view (packed in batch_loss)
-        self._w_rec = bipartite_renorm_weights(
-            self._edge_users_dev,
-            self._edge_items_dev,
-            jnp.ones(self.data.n_edges, dtype=bool),
-            self.data.user_num,
-            self.data.item_num,
-        )
         self._joint_phase = False
+
+    def _dense_views(self) -> bool:
+        from selfrec_tpu.ops.spmm_dense import DenseAdj
+        from selfrec_tpu.parallel.dense_shard import ShardedDenseAdj
+
+        return isinstance(self.adj, (DenseAdj, ShardedDenseAdj))
 
     def print_model_info(self):
         super().print_model_info()
@@ -166,6 +202,12 @@ class SEPT(JAXGraphRecommender):
                 )
             )
         ].set(True)
+        if self._dense_views():
+            # fresh int8-factored dropped view (one scatter + two
+            # segment-sums); threaded via scan_const_attrs, which
+            # run_epoch collects AFTER this call
+            self._aug_view = self.adj.refactor_view(keep[self._edge_perm])
+            return {}
         w = bipartite_renorm_weights(
             self._edge_users_dev,
             self._edge_items_dev,
@@ -215,19 +257,29 @@ class SEPT(JAXGraphRecommender):
         # layout. Eval and the warm phase keep the plain self.adj chain.
         mask = batch["mask"]
         ego = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
-        w_stack = jnp.stack([self._w_rec, batch["aux"]["aug_w"]])
-        rec_all, aug_all = self._encode_packed(
-            self._view_template, w_stack, [ego, ego]
-        )
+        if self._dense_views():
+            # two MXU dense chains (clean + epoch's refactored view); dense
+            # matmuls are compute-bound, so packing buys nothing here
+            rec_all = self._encode(self.adj, ego)
+            aug_all = self._encode(self._aug_view, ego)
+        else:
+            w_stack = jnp.stack([self._w_rec, batch["aux"]["aug_w"]])
+            rec_all, aug_all = self._encode_packed(
+                self._view_template, w_stack, [ego, ego]
+            )
         nu = self.data.user_num
         rec_user, rec_item = rec_all[:nu], rec_all[nu:]
         rec = self._rec_loss(params, rec_user, rec_item, batch)
         aug_user = aug_all[:nu]
-        friend, sharing = self._encode_packed(
-            self._social_template,
-            self._social_w_stack,
-            [params["user_emb"], params["user_emb"]],
-        )
+        if self._social_d1 is not None:
+            friend = self._encode(self._social_d1, params["user_emb"])
+            sharing = self._encode(self._social_d2, params["user_emb"])
+        else:
+            friend, sharing = self._encode_packed(
+                self._social_template,
+                self._social_w_stack,
+                [params["user_emb"], params["user_emb"]],
+            )
 
         valid_rows = mask.astype(bool)
         uniq, uniq_mask = unique_with_mask(

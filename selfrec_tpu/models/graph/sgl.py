@@ -100,19 +100,10 @@ class SGL(JAXGraphRecommender):
         return isinstance(self.adj, (DenseAdj, ShardedDenseAdj))
 
     def _adj_edge_perm(self) -> np.ndarray:
-        """perm[j] = dataset-edge index of the adjacency's j-th edge, so a
-        keep-mask drawn in dataset order applies to the dense block's
-        edge order."""
-        n_i = self.data.item_num
-        data_key = (self.data.edge_users.astype(np.int64) * n_i
-                    + self.data.edge_items)
-        adj_key = (np.asarray(self.adj.edge_users).astype(np.int64) * n_i
-                   + np.asarray(self.adj.edge_items))
-        order = np.argsort(data_key)
-        pos = np.searchsorted(data_key[order], adj_key)
-        assert np.array_equal(data_key[order][pos], adj_key), (
-            "adjacency edges are not a permutation of the dataset edges")
-        return order[pos].astype(np.int32)
+        from selfrec_tpu.ops.spmm_dense import adj_edge_perm
+
+        return adj_edge_perm(self.adj, self.data.edge_users,
+                             self.data.edge_items, self.data.item_num)
 
     def init_params(self, key):
         ku, ki = jax.random.split(key)

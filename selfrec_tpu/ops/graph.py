@@ -62,7 +62,8 @@ def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
     kernel (parallel/halo.py — model-axis row-sharded tables); NormAdj falls
     back to gather + segment-sum (still used for dynamically re-normalized
     views and by the KNN co-occurrence blocks)."""
-    from selfrec_tpu.ops.spmm_dense import DenseAdj, dense_spmm
+    from selfrec_tpu.ops.spmm_dense import (
+        DenseAdj, DenseMat, dense_mat_spmm, dense_spmm)
     from selfrec_tpu.ops.spmm_ell import EllAdj, ell_spmm
     from selfrec_tpu.parallel.dense_shard import (
         ShardedDenseAdj, sharded_dense_spmm)
@@ -70,6 +71,8 @@ def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
 
     if isinstance(adj, DenseAdj):
         return dense_spmm(adj, x)
+    if isinstance(adj, DenseMat):
+        return dense_mat_spmm(adj, x)
     if isinstance(adj, ShardedDenseAdj):
         return sharded_dense_spmm(adj, x)
     if isinstance(adj, EllAdj):
@@ -342,8 +345,24 @@ def adj_dropout(adj, key: jax.Array, rate):
     return NormAdj(adj.src, adj.dst, w, adj.n_nodes, adj.sorted_by_dst)
 
 
+def dense_general_available(m: int, n: int) -> bool:
+    """Whether a STATIC (m, n) matrix would take the generic dense MXU
+    backend under the current env gates (same conditions
+    norm_adj_from_scipy(dense_general=True) applies)."""
+    import os
+
+    from selfrec_tpu.ops import spmm_dense
+
+    mode = os.environ.get("SELFREC_TPU_DENSE", "auto")
+    if mode == "0":
+        return False
+    return spmm_dense.fits_dense(m, n) and (
+        mode == "1" or jax.default_backend() != "cpu")
+
+
 def norm_adj_from_scipy(norm_adj, ell: Optional[bool] = None, k: int = 16,
-                        n_users: Optional[int] = None):
+                        n_users: Optional[int] = None,
+                        dense_general: bool = False):
     """Device adjacency from a host scipy normalized matrix (one-time setup).
 
     Returns the row-split EllAdj fast path by default (set env
@@ -354,6 +373,11 @@ def norm_adj_from_scipy(norm_adj, ell: Optional[bool] = None, k: int = 16,
     dense-bipartite MXU path (ops/spmm_dense.py) on accelerator backends
     when the (U, I) block fits the budget — ``SELFREC_TPU_DENSE=0``
     disables, ``=1`` forces (incl. on CPU, for tests).
+
+    ``dense_general=True`` opts a STATIC square/rectangular matrix (MHCN's
+    social channels / rating blocks) into the generic dense MXU backend
+    (spmm_dense.DenseMat) under the same env gates and budget. Callers
+    that re-drop or reweight per step must not pass it.
     """
     import os
 
@@ -361,6 +385,13 @@ def norm_adj_from_scipy(norm_adj, ell: Optional[bool] = None, k: int = 16,
 
     coo = norm_adj.tocoo()
     dense_mode = os.environ.get("SELFREC_TPU_DENSE", "auto")
+    if dense_general and n_users is None and dense_mode != "0":
+        from selfrec_tpu.ops import spmm_dense
+
+        m, n = norm_adj.shape
+        if (spmm_dense.fits_dense(m, n)
+                and (dense_mode == "1" or jax.default_backend() != "cpu")):
+            return spmm_dense.dense_mat_from_scipy(norm_adj)
     if n_users is not None and dense_mode != "0":
         from selfrec_tpu.ops import spmm_dense
 

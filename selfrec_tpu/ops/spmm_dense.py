@@ -225,6 +225,86 @@ def fits_dense(n_users: int, n_items: int) -> bool:
     return n_users * n_items * _dense_dtype().itemsize <= budget_gb * 1e9
 
 
+@jax.tree_util.register_pytree_node_class
+class DenseMat:
+    """General dense (M, N) backend for STATIC square/rectangular
+    normalized adjacencies — MHCN's social hypergraph channels
+    H_s/H_j/H_p (U x U) and rating blocks R/R^T, which the reference runs
+    as TF1 sparse matmuls inside every training step
+    (/root/reference/model/graph/MHCN.py:183-201).
+
+    One MXU matmul (values in ``_generic_dtype()``, f32 accumulation)
+    replaces the ELL gather chain; autodiff's transpose (A^T @ g) reuses
+    the SAME buffer with swapped contracting dims — no second copy, no
+    custom VJP needed. Strictly opt-in via
+    ``norm_adj_from_scipy(dense_general=True)``: per-step-dropout models
+    (BUIR) must stay on ELL (ops/graph.adj_dropout would otherwise
+    re-scatter a multi-MB block every scan step), and value blocks are
+    bf16 — a documented numerics deviation validated the same way as the
+    bipartite dense path (tests/test_social_oracle.py tolerances +
+    training-curve parity in tests/test_social.py)."""
+
+    def __init__(self, a: jnp.ndarray):
+        self.a = a
+        self.n_nodes = a.shape[0]
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    def tree_flatten(self):
+        return (self.a,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    def __repr__(self):
+        return (f"DenseMat({self.a.shape[0]}x{self.a.shape[1]}, "
+                f"{self.a.dtype}, {self.a.nbytes / 1e9:.3f} GB)")
+
+
+def dense_mat_spmm(adj: DenseMat, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(adj.a, x.astype(adj.a.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def adj_edge_perm(adj, edge_users, edge_items, n_items: int):
+    """perm[j] = dataset-edge index of the adjacency's j-th edge, so a
+    keep-mask drawn in dataset edge order applies to the dense block's
+    edge order (DenseAdj/ShardedDenseAdj build from the scipy COO of
+    norm_adj, whose order differs). Used by the per-epoch dropped-view
+    models (SGL/SEPT) before refactor_view."""
+    import numpy as np
+
+    eu = np.asarray(edge_users)
+    ei = np.asarray(edge_items)
+    data_key = eu.astype(np.int64) * n_items + ei
+    adj_key = (np.asarray(adj.edge_users).astype(np.int64) * n_items
+               + np.asarray(adj.edge_items))
+    order = np.argsort(data_key)
+    pos = np.searchsorted(data_key[order], adj_key)
+    assert np.array_equal(data_key[order][pos], adj_key), (
+        "adjacency edges are not a permutation of the dataset edges")
+    return order[pos].astype(np.int32)
+
+
+def dense_mat_from_scipy(mat) -> DenseMat:
+    """Build the dense matrix ON DEVICE from a host scipy sparse matrix:
+    only the (nnz x 12 B) edge arrays cross the host->device tunnel, the
+    (M, N) block itself is one device scatter (same transfer discipline as
+    dense_adj_from_edges / dense_shard)."""
+    import numpy as np
+
+    coo = mat.tocoo()
+    dtype = _generic_dtype()
+    a = jnp.zeros(mat.shape, dtype).at[
+        jnp.asarray(coo.row.astype(np.int32)),
+        jnp.asarray(coo.col.astype(np.int32)),
+    ].add(jnp.asarray(coo.data.astype(np.float32)).astype(dtype))
+    return DenseMat(a)
+
+
 def bipartite_blocks(coo, n_users: int):
     """Split a unified (U+I)x(U+I) COO Laplacian into bipartite (u, i, w)
     edge arrays, or None if any nonzero lives in a diagonal block (not

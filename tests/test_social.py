@@ -158,3 +158,79 @@ def test_sept_packed_encode_equivalence(tiny_social_dataset):
     rec_s = model._encode(model.adj, ego)
     np.testing.assert_allclose(
         np.asarray(rec_p), np.asarray(rec_s), rtol=1e-5, atol=1e-5)
+
+
+def test_mhcn_e2e_dense_mat_matches_ell(monkeypatch, tiny_social_dataset):
+    """MHCN with all five static adjacencies on the generic dense MXU
+    backend (DenseMat, forced f32 on CPU) trains to the same metrics as
+    the ELL gather path — exercises norm_adj_from_scipy(dense_general=True)
+    through a full train/test cycle."""
+    from selfrec_tpu.ops.spmm_dense import DenseMat
+
+    monkeypatch.delenv("SELFREC_TPU_DENSE", raising=False)
+    _, perf_ell = run_social_model(
+        "MHCN", tiny_social_dataset,
+        extra={"n_layer": 2, "ss_rate": 0.01}, learning_rate=0.02)
+
+    monkeypatch.setenv("SELFREC_TPU_DENSE", "1")
+    monkeypatch.setenv("SELFREC_TPU_DENSE_DTYPE", "float32")
+    model, perf_dense = run_social_model(
+        "MHCN", tiny_social_dataset,
+        extra={"n_layer": 2, "ss_rate": 0.01}, learning_rate=0.02)
+    assert all(isinstance(h, DenseMat) for h in model.H)
+    assert isinstance(model.R, DenseMat) and isinstance(model.Rt, DenseMat)
+    for k in perf_ell:
+        assert abs(perf_ell[k] - perf_dense[k]) < 2e-3, (
+            k, perf_ell[k], perf_dense[k])
+
+
+def test_mhcn_e2e_dense_mat_bf16_quality(monkeypatch, tiny_social_dataset):
+    """The production DenseMat arm is bf16 (values rounded in the scatter,
+    f32 accumulation). Validate the documented numerics deviation e2e: a
+    full MHCN train/test cycle on bf16 dense blocks reaches the same
+    quality band as the exact ELL run (same pattern as the bipartite dense
+    backend's convergence validation, PARITY.md)."""
+    monkeypatch.delenv("SELFREC_TPU_DENSE", raising=False)
+    _, perf_ell = run_social_model(
+        "MHCN", tiny_social_dataset,
+        extra={"n_layer": 2, "ss_rate": 0.01}, learning_rate=0.02)
+
+    monkeypatch.setenv("SELFREC_TPU_DENSE", "1")
+    monkeypatch.delenv("SELFREC_TPU_DENSE_DTYPE", raising=False)
+    _, perf_bf16 = run_social_model(
+        "MHCN", tiny_social_dataset,
+        extra={"n_layer": 2, "ss_rate": 0.01}, learning_rate=0.02)
+    # bf16 rounding shifts individual scores; metric bands must agree
+    for k in perf_ell:
+        assert abs(perf_ell[k] - perf_bf16[k]) < 0.03, (
+            k, perf_ell[k], perf_bf16[k])
+
+
+def test_sept_e2e_dense_matches_ell(monkeypatch, tiny_social_dataset):
+    """SEPT with the dense arm everywhere — social views on DenseMat,
+    rec chain on the clean DenseAdj, per-epoch augmented view via
+    refactor_view — trains to the same metrics as the packed-ELL path
+    (forced f32 on CPU so the comparison is exact up to op order)."""
+    from selfrec_tpu.ops.spmm_dense import DenseAdj, DenseMat
+
+    monkeypatch.delenv("SELFREC_TPU_DENSE", raising=False)
+    _, perf_ell = run_social_model(
+        "SEPT", tiny_social_dataset,
+        extra={"n_layer": 2, "ss_rate": 0.005, "drop_rate": 0.3,
+               "ins_cnt": 5},
+        learning_rate=0.02, max_epoch=9)
+
+    monkeypatch.setenv("SELFREC_TPU_DENSE", "1")
+    monkeypatch.setenv("SELFREC_TPU_DENSE_DTYPE", "float32")
+    model, perf_dense = run_social_model(
+        "SEPT", tiny_social_dataset,
+        extra={"n_layer": 2, "ss_rate": 0.005, "drop_rate": 0.3,
+               "ins_cnt": 5},
+        learning_rate=0.02, max_epoch=9)
+    assert isinstance(model._social_d1, DenseMat)
+    assert isinstance(model._social_d2, DenseMat)
+    assert isinstance(model.adj, DenseAdj)
+    assert isinstance(model._aug_view, DenseAdj)  # joint phase ran
+    for k in perf_ell:
+        assert abs(perf_ell[k] - perf_dense[k]) < 2e-3, (
+            k, perf_ell[k], perf_dense[k])

@@ -399,3 +399,30 @@ def test_int8_env_does_not_poison_generic_blocks(monkeypatch):
     assert fac.factored and fac.mm_dtype == jnp.int8
     rw = fac.reweight(jnp.asarray(w2 * 0.5))
     assert rw.a_ui.dtype == jnp.bfloat16
+
+
+def test_dense_mat_forward_and_grad_match_edge_list(monkeypatch):
+    """Generic DenseMat (square + rectangular): forward equals the
+    edge-list segment-sum path, and autodiff's transpose (A^T @ g) is
+    exact — no custom VJP, same buffer. f32 forced at BUILD time (the
+    bf16 default rounds values in the scatter itself)."""
+    import scipy.sparse as sp
+
+    monkeypatch.setenv("SELFREC_TPU_DENSE_DTYPE", "float32")
+    rng = np.random.default_rng(12)
+    for (M, N) in [(50, 50), (40, 70)]:
+        mat = sp.random(M, N, density=0.1, random_state=3, format="csr",
+                        dtype=np.float32)
+        x = rng.standard_normal((N, 8)).astype(np.float32)
+        dm = d_ops.dense_mat_from_scipy(mat)
+        assert dm.a.dtype == jnp.float32
+        ref = mat @ x
+        out = np.asarray(g_ops.spmm(dm, jnp.asarray(x)))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+        g = rng.standard_normal((M, 8)).astype(np.float32)
+        pull = jax.grad(
+            lambda xx: jnp.vdot(g_ops.spmm(dm, xx), jnp.asarray(g)))(
+            jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(pull), mat.T @ g,
+                                   rtol=1e-5, atol=1e-6)
