@@ -329,6 +329,41 @@ def _graph_model(name, extra, **top):
     return model
 
 
+def _timed_batches(model, m=N_BENCH_BATCHES):
+    """bench_simgcl's capped-batch methodology: one jitted dispatch over m
+    batches, best-of-reps examples/s. Used for arms whose FULL epoch is a
+    single >60s device program — the axon tunnel's worker kills those
+    (observed on sgl's packed-ELL arm and pre-bitmap mixgcf: 'TPU worker
+    process crashed or restarted'), so the whole-epoch timing contract
+    can't be met for them on this box."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from selfrec_tpu.ops import sampling
+
+    users, items, masks = sampling.epoch_pairwise_batches(
+        model.rng, model.data.edge_users, model.data.edge_items,
+        model.batch_size)
+    m = min(m, len(users))
+    users, items, masks = (jnp.asarray(users[:m]), jnp.asarray(items[:m]),
+                           jnp.asarray(masks[:m]))
+    epoch_fn = model._make_epoch_fn()
+    aux = model.epoch_setup(0)
+    consts = model._scan_consts()
+    out = epoch_fn(model.params, model.opt_state, model.key, aux,
+                   users, items, masks, consts)
+    jax.block_until_ready(out[-1])
+    dts = []
+    for _ in range(N_TIMED_REPS):
+        t0 = time.time()
+        out = epoch_fn(*out[:4], users, items, masks, consts)
+        np.asarray(out[-1])
+        dts.append(time.time() - t0)
+    assert np.all(np.isfinite(np.asarray(out[-1])))
+    return m * model.batch_size / min(dts), _spread(dts)
+
+
 def bench_sgl():
     """SGL, reference conf/SGL.yaml defaults, yelp2018-scale synthetic —
     BOTH adjacency backends (VERDICT r2 weak 4): the packed-ELL gather
@@ -348,10 +383,19 @@ def bench_sgl():
             model = _graph_model("SGL", extra)
             log(f"[sgl:{mode}] built ({time.time()-t0:.1f}s),"
                 f" adj={type(model.adj).__name__}")
-            best_dt, spread = _timed_run_epochs(model)
-            n_ex = model.data.n_edges
-            results[mode] = {"eps": round(n_ex / best_dt, 1), **spread}
-            log(f"[sgl:{mode}] epoch {best_dt:.2f}s = {results[mode]['eps']} ex/s")
+            if mode == "ell":
+                # the ELL arm's full epoch is a single ~95s device program
+                # and the tunnel worker kills programs that long (see
+                # _timed_batches) — measure it on the capped-batch
+                # methodology instead
+                eps, spread = _timed_batches(model)
+                results[mode] = {"eps": round(eps, 1), **spread,
+                                 "methodology": "50-batch dispatch"}
+            else:
+                best_dt, spread = _timed_run_epochs(model)
+                n_ex = model.data.n_edges
+                results[mode] = {"eps": round(n_ex / best_dt, 1), **spread}
+            log(f"[sgl:{mode}] {results[mode]['eps']} ex/s")
             del model
         except Exception as e:  # record the surviving arm, not nothing
             log(f"[sgl:{mode}] FAILED: {e!r}")

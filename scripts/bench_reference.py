@@ -13,8 +13,10 @@ backend in this image; ``.cuda()`` is made a no-op):
   backward + Adam) over one full epoch of the reference's own
   amazon-beauty sequences via util/sampler.next_batch_sequence.
 
-MHCN/SEPT have no reference comparator here (TF1-only; no TF1 in the
-image) and the reference eval path needs numba (absent) — those stay null.
+MHCN and SEPT are TF1-only in the reference (no TF1 in the image), so
+their comparators are op-for-op torch transliterations of the TF1 graphs
+(``bench_mhcn``/``bench_sept`` below). The reference eval path needs
+numba (absent) — eval stays null.
 
 Usage: python scripts/bench_reference.py [simgcl sasrec ...]
 """
@@ -509,9 +511,159 @@ def bench_mhcn():
                           "torch.sparse.mm), quarter-douban synthetic"}
 
 
+def bench_sept():
+    """SEPT joint-phase comparator: the reference SEPT is TF1-only
+    (model/graph/SEPT.py:57-160 — no TF1 in this image), so this is an
+    op-for-op torch transliteration of its joint tri-training step: four
+    propagation chains (rec over norm_adj, augmented over the epoch's
+    dropped adjacency, friend/sharing social encoders — SEPT.py:69-90),
+    three label predictions + pseudo-label top-ks + neighbor
+    discriminations at tau=0.1 (SEPT.py:97-134), loss = BPR +
+    reg*l2_loss(full tables) + ss_rate*nd with Adam (SEPT.py:137-155,
+    v2_op), on the SAME quarter-douban synthetic workload bench.py's sept
+    runs. The per-epoch dropped adjacency is built once outside the timed
+    loop (per-STEP steady state, same timing contract as the other
+    comparators)."""
+    import numpy as np
+    import scipy.sparse as sp
+    import torch.nn.functional as F
+    from scipy.sparse import eye
+
+    from selfrec_tpu.utils.synth import (
+        DOUBAN_INTERACTIONS, DOUBAN_ITEMS, DOUBAN_USERS,
+        synth_graph_triples, synth_social_triples,
+    )
+
+    os.chdir("/root/reference")
+    from util.conf import ModelConf
+    from data.ui_graph import Interaction
+    from data.social import Relation
+    from util.sampler import next_batch_pairwise
+    from util.loss_torch import bpr_loss
+
+    t0 = time.time()
+    train, test = synth_graph_triples(
+        DOUBAN_USERS // 4, DOUBAN_ITEMS // 4, DOUBAN_INTERACTIONS // 4,
+        seed=1237)
+    social = synth_social_triples(
+        n_users=DOUBAN_USERS // 4, n_relations=169150 // 4)
+    conf = ModelConf("./conf/SEPT.yaml")
+    data = Interaction(conf, [list(t) for t in train], [list(t) for t in test])
+    relation = Relation(conf, [list(t) for t in social], data.user)
+    print("data built", time.time() - t0, flush=True)
+
+    n_layers = int(conf["SEPT"]["n_layer"])
+    ss_rate = float(conf["SEPT"]["ss_rate"])
+    drop_rate = float(conf["SEPT"]["drop_rate"])
+    ins_cnt = int(conf["SEPT"]["ins_cnt"])
+    emb_size = int(conf["embedding.size"])
+    l_rate = float(conf["learning.rate"])
+    reg = float(conf["reg.lambda"])
+    n_u, n_i = data.user_num, data.item_num
+
+    # social/sharing views (SEPT.py:33-40)
+    S = relation.get_birectional_social_mat()
+    Y = data.interaction_mat
+    social_mat = (S.dot(S)).multiply(S) + eye(n_u, dtype=np.float32)
+    sharing_mat = (Y.dot(Y.T)).multiply(S) + eye(n_u, dtype=np.float32)
+    social_mat = relation.normalize_graph_mat(social_mat)
+    sharing_mat = relation.normalize_graph_mat(sharing_mat)
+
+    # one epoch's dropped augmented adjacency (reference rebuilds per
+    # epoch via graph_reconstruction, SEPT.py:161-167)
+    rng = np.random.default_rng(0)
+    coo = Y.tocoo()
+    keep = rng.random(coo.nnz) >= drop_rate
+    dropped = sp.csr_matrix(
+        (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=Y.shape)
+    tmp = sp.bmat([[None, dropped], [dropped.T, None]], format="csr")
+    sub_adj = data.normalize_graph_mat(tmp)
+
+    def to_torch(m):
+        c = sp.coo_matrix(m)
+        idx = torch.LongTensor(np.vstack([c.row, c.col]))
+        return torch.sparse_coo_tensor(
+            idx, torch.FloatTensor(c.data.astype(np.float32)),
+            c.shape).coalesce()
+
+    social_t, sharing_t = to_torch(social_mat), to_torch(sharing_mat)
+    norm_adj_t, sub_t = to_torch(data.norm_adj), to_torch(sub_adj)
+
+    P = {
+        "user_emb": torch.nn.Parameter(torch.nn.init.xavier_uniform_(
+            torch.empty(n_u, emb_size))),
+        "item_emb": torch.nn.Parameter(torch.nn.init.xavier_uniform_(
+            torch.empty(n_i, emb_size))),
+    }
+
+    def encoder(ego, adj_t):
+        embs, e = [ego], ego
+        for _ in range(n_layers):
+            e = F.normalize(torch.sparse.mm(adj_t, e), dim=1)
+            embs.append(e)
+        return torch.stack(embs).sum(0)
+
+    opt = torch.optim.Adam(P.values(), lr=l_rate)
+    n_ex, t0 = 0, None
+    for n, batch in enumerate(next_batch_pairwise(data, 2048)):
+        if n == N_WARM:
+            t0 = time.time()
+            n_ex = 0
+        if n == N_WARM + N_BENCH:
+            break
+        user_idx, pos_idx, neg_idx = batch
+        ego = torch.cat([P["user_emb"], P["item_emb"]], dim=0)
+        rec_all = encoder(ego, norm_adj_t)
+        aug_all = encoder(ego, sub_t)
+        rec_u, rec_i = rec_all[:n_u], rec_all[n_u:]
+        aug_u = aug_all[:n_u]
+        friend = encoder(P["user_emb"], social_t)
+        sharing = encoder(P["user_emb"], sharing_t)
+
+        uniq = torch.unique(torch.LongTensor(user_idx))
+        aug_n = F.normalize(aug_u[uniq], dim=1)
+
+        def label_pred(emb):
+            return torch.softmax(
+                F.normalize(emb[uniq], dim=1) @ aug_n.T, dim=1)
+
+        def nd(pos_idx_k, emb):
+            e = F.normalize(emb[uniq], dim=1)
+            pos = (e.unsqueeze(1) * aug_n[pos_idx_k]).sum(2)
+            pos_score = torch.exp(pos / 0.1).sum(1)
+            ttl_score = torch.exp(e @ aug_n.T / 0.1).sum(1)
+            return -torch.log(pos_score / ttl_score).sum()
+
+        p_soc, p_sha, p_rec = (label_pred(x)
+                               for x in (friend, sharing, rec_u))
+        f_pos = torch.topk((p_sha + p_rec) / 2, ins_cnt).indices
+        sh_pos = torch.topk((p_soc + p_rec) / 2, ins_cnt).indices
+        r_pos = torch.topk((p_soc + p_sha) / 2, ins_cnt).indices
+        nd_loss = nd(f_pos, friend) + nd(sh_pos, sharing) + nd(r_pos, rec_u)
+
+        ue, pe, ne = rec_u[user_idx], rec_i[pos_idx], rec_i[neg_idx]
+        rec_loss = bpr_loss(ue, pe, ne)
+        rec_loss = rec_loss + reg * (
+            (P["user_emb"] ** 2).sum() / 2 + (P["item_emb"] ** 2).sum() / 2)
+        loss = rec_loss + ss_rate * nd_loss
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if t0 is not None:
+            n_ex += len(user_idx)
+    dt = time.time() - t0
+    eps = n_ex / dt
+    print("sept:", N_BENCH, "batches,", n_ex, "ex,", dt, "s", flush=True)
+    return {"examples_per_sec": round(eps, 1), "unit": "examples/s",
+            "conditions": "torch host CPU transliteration of the TF1 "
+                          "reference joint phase (SEPT.py:57-160 "
+                          "op-for-op, torch.sparse.mm), quarter-douban "
+                          "synthetic"}
+
+
 WORKLOADS = {"simgcl": bench_simgcl, "sasrec": bench_sasrec,
              "sgl": bench_sgl, "ncl": bench_ncl, "mixgcf": bench_mixgcf,
-             "mhcn": bench_mhcn}
+             "mhcn": bench_mhcn, "sept": bench_sept}
 
 
 def main():

@@ -83,6 +83,62 @@ def sample_negatives(
     return cand.reshape(shape)
 
 
+def pack_rated_bitmap(rated_offsets, rated_items, n_users: int,
+                      n_items: int):
+    """Host-side one-time pack of the per-user rated-item sets into a
+    (U, ceil(I/32)) uint32 bitmap.
+
+    Membership then costs ONE 32-bit gather + bit test per candidate
+    instead of a ~log2(nnz)-step binary search over the CSR — for
+    wide-negative samplers (MixGCF n_negs=64: 131k lanes/batch) that is
+    ~22x less random-gather traffic on the TPU, whose gathers are
+    latency-bound (BASELINE.md round 2). Yelp-scale cost: 31,668 x 1,189
+    uint32 = 150 MB HBM."""
+    import numpy as np
+
+    words = (n_items + 31) // 32
+    bm = np.zeros((n_users, words), np.uint32)
+    items = np.asarray(rated_items)
+    rows = np.repeat(np.arange(n_users), np.diff(np.asarray(rated_offsets)))
+    np.bitwise_or.at(
+        bm, (rows, items >> 5),
+        (np.uint32(1) << (items & 31).astype(np.uint32)))
+    return bm
+
+
+@partial(jax.jit, static_argnames=("n_items", "n_rounds", "shape"))
+def sample_negatives_bitmap(
+    key: jax.Array,
+    user_idx: jnp.ndarray,
+    rated_bitmap: jnp.ndarray,
+    n_items: int,
+    shape: Tuple[int, ...],
+    n_rounds: int = 8,
+) -> jnp.ndarray:
+    """``sample_negatives`` with the packed-bitmap membership test — same
+    rejection semantics (reference sampler.py:23-27; residual collision
+    probability p^(n_rounds+1) per lane), one gather+mask per candidate
+    instead of a binary search. Preferred for wide-negative models when
+    the bitmap fits (models/base.py gates by SELFREC_TPU_NEG_BITMAP_MB)."""
+    users = user_idx.reshape(-1)
+    if len(shape) == 2:
+        users = jnp.repeat(users, shape[1])
+    keys = jax.random.split(key, 2)
+    cand = jax.random.randint(keys[0], users.shape, 0, n_items,
+                              dtype=jnp.int32)
+
+    def round_fn(r, cand):
+        word = rated_bitmap[users, cand >> 5]
+        bad = ((word >> (cand & 31).astype(jnp.uint32)) & 1) != 0
+        fresh = jax.random.randint(
+            jax.random.fold_in(keys[1], r), users.shape, 0, n_items,
+            dtype=jnp.int32)
+        return jnp.where(bad, fresh, cand)
+
+    cand = jax.lax.fori_loop(0, n_rounds, round_fn, cand)
+    return cand.reshape(shape)
+
+
 def unique_with_mask(idx: jnp.ndarray, size: int):
     """Deduplicate a 1D index array under jit (static output size).
 

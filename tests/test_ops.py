@@ -306,3 +306,39 @@ def test_fused_simgcl_propagate_matches_clean_chain():
     np.testing.assert_allclose(np.asarray(c), np.asarray(clean_ref), rtol=1e-5)
     assert np.abs(np.asarray(v1) - np.asarray(clean_ref)).max() > 1e-3
     assert np.abs(np.asarray(v1) - np.asarray(v2)).max() > 1e-3
+
+
+def test_bitmap_negative_sampling_excludes_rated():
+    """pack_rated_bitmap + sample_negatives_bitmap: bitmap membership is
+    exact vs the CSR, and the wide-negative (B, n_negs) sampler rejects
+    rated items with the same semantics as the binary-search path."""
+    rng = np.random.default_rng(3)
+    n_users, n_items = 30, 70
+    offsets = [0]
+    flat = []
+    for u in range(n_users):
+        rated = np.sort(rng.choice(n_items, size=rng.integers(1, 25),
+                                   replace=False))
+        flat.extend(rated.tolist())
+        offsets.append(len(flat))
+    flat_np = np.array(flat, np.int32)
+    offsets_np = np.array(offsets, np.int64)
+
+    bm = sampling.pack_rated_bitmap(offsets_np, flat_np, n_users, n_items)
+    assert bm.shape == (n_users, (n_items + 31) // 32)
+    # bit-exact membership vs the CSR
+    for u in range(n_users):
+        rated = set(flat_np[offsets_np[u]:offsets_np[u + 1]].tolist())
+        for it in range(n_items):
+            bit = (int(bm[u, it >> 5]) >> (it & 31)) & 1
+            assert bool(bit) == (it in rated), (u, it)
+
+    users = jnp.asarray(rng.integers(0, n_users, 64).astype(np.int32))
+    negs = np.asarray(sampling.sample_negatives_bitmap(
+        jax.random.PRNGKey(2), users, jnp.asarray(bm), n_items,
+        shape=(64, 8), n_rounds=32))
+    assert negs.shape == (64, 8)
+    for u, row in zip(np.asarray(users), negs):
+        rated = set(flat_np[offsets_np[u]:offsets_np[u + 1]].tolist())
+        for j in row:
+            assert int(j) not in rated and 0 <= j < n_items
