@@ -455,6 +455,24 @@ def bench_mixgcf():
     }
 
 
+def bench_buir():
+    """BUIR (negative-free bootstrap family): per-STEP adjacency dropout
+    via DenseAdj.dropout_view (scatter-multiply of the keep mask into the
+    int8 block; 2.6x the per-step-reweighted ELL chain) plus the momentum
+    target-row updates. Capped-batch methodology (see _timed_batches)."""
+    extra = {"n_layer": 2, "drop_rate": 0.2, "tau": 0.995}
+    model = _graph_model("BUIR", extra)
+    eps, spread = _timed_batches(model)
+    log(f"[buir] {eps:.1f} ex/s")
+    return {
+        "metric": "buir_yelp2018scale_train_throughput",
+        "value": round(eps, 1),
+        "unit": "examples/s",
+        "ref_key": None,
+        "detail": {**spread, "methodology": "50-batch dispatch"},
+    }
+
+
 def bench_eval():
     """Times the PRODUCTION per-epoch eval path (what fast_evaluation runs:
     device top-k ids + vectorized id-array metrics, models/base.py
@@ -527,6 +545,7 @@ WORKLOADS = {
     "mixgcf": bench_mixgcf,
     "ncl": bench_ncl,
     "sgl": bench_sgl,
+    "buir": bench_buir,
 }
 
 

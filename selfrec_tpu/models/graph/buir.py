@@ -35,7 +35,16 @@ class BUIR(JAXGraphRecommender):
         self.momentum = float(args.get("tau", 0.995))
         self.n_layers = int(args.get("n_layer", 2))
         self.drop_rate = float(args.get("drop_rate", 0.2))
-        self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
+        if self.mesh is None:
+            # dense-eligible: per-step dropout rides DenseAdj.dropout_view
+            # (scatter-multiply keep mask, factored form preserved) —
+            # measured 2.6x over the per-step-reweighted ELL gather chain
+            # (5,249 -> 13,661 ex/s at yelp scale, BENCH_MATRIX.json buir)
+            self.adj = self.make_adj()
+        else:
+            # per-step dropout is unsupported on the sharded dense layout
+            # (ops/graph.adj_dropout) — keep ELL/halo under a mesh
+            self.adj = self.shard_adj(norm_adj_from_scipy(self.data.norm_adj))
 
     def init_params(self, key):
         ku, ki, kp = jax.random.split(key, 3)

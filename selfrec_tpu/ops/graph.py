@@ -325,18 +325,22 @@ def adj_dropout(adj, key: jax.Array, rate):
     """
     from selfrec_tpu.ops.spmm_dense import DenseAdj
     from selfrec_tpu.ops.spmm_ell import EllAdj
+    from selfrec_tpu.parallel.dense_shard import ShardedDenseAdj
     from selfrec_tpu.parallel.halo import HaloAdj
 
     if isinstance(adj, DenseAdj):
-        # DenseAdj.reweight re-scatters the full (U, I) block and downgrades
-        # the int8-factored form to a generic value block — fine once per
-        # EPOCH (SGL/SEPT views) but a multi-GB-per-step cliff inside a
-        # training scan. Per-step-dropout models (BUIR/MixGCF) must build
-        # their adjacency on the ELL layout (norm_adj_from_scipy without
-        # n_users, as BUIR does).
+        # scatter-MULTIPLY of the per-edge keep mask into the existing
+        # block; the factored int8 form survives exactly (B ⊙ keep stays
+        # binary, the 1/(1-rate) rescale folds into gain) — cheap enough
+        # per scan step, unlike reweight's full value re-scatter
+        return adj.dropout_view(key, rate)
+    if isinstance(adj, ShardedDenseAdj):
+        # per-device masked rebuild not implemented; per-step-dropout
+        # models under a mesh keep the ELL/halo layout (models/graph/
+        # buir.py builds accordingly)
         raise TypeError(
-            "adj_dropout on DenseAdj would rebuild the dense block every "
-            "step; use an EllAdj for per-step dropout models")
+            "adj_dropout on ShardedDenseAdj is unsupported; build per-step "
+            "dropout models on the ELL/halo layout under a mesh")
     if isinstance(adj, (EllAdj, HaloAdj)):
         keep = jax.random.uniform(key, adj.edge_w.shape) >= rate
         return adj.reweight(jnp.where(keep, adj.edge_w / (1.0 - rate), 0.0))

@@ -122,6 +122,35 @@ class DenseAdj:
         return DenseAdj(a, self.edge_users, self.edge_items, w,
                         self.n_users, self.n_items)
 
+    def dropout_view(self, key, rate) -> "DenseAdj":
+        """Per-STEP sparse dropout (reference sparse_dropout semantics,
+        BUIR.py:118-127: keep each edge w.p. 1-rate, scale kept weights by
+        1/(1-rate), NO degree re-normalization; ``rate`` may be traced —
+        BUIR draws rate = U[0,1) * drop_ratio per forward).
+
+        Cheap enough for inside a training scan, unlike :meth:`reweight`:
+        one scatter-MULTIPLY of the per-edge keep mask into the existing
+        block (a 1-byte/entry copy at yelp scale, ~2 ms at HBM rate, vs
+        the ELL gather chain this replaces at 10x that), and the factored
+        form survives EXACTLY — B ⊙ keep is still binary, and the
+        1/(1-rate) rescale folds into the ``gain`` scalar. Generic value
+        blocks scatter the mask the same way and fold the rescale into
+        ``row_scale``-free form via a scalar multiply in dense_spmm's
+        operand (handled by scaling the block)."""
+        keep = (jax.random.uniform(key, self.edge_w.shape)
+                >= rate)
+        inv = 1.0 / (1.0 - rate)
+        b = self.a_ui.at[self.edge_users, self.edge_items].multiply(
+            keep.astype(self.a_ui.dtype))
+        if self.factored:
+            return DenseAdj(b, self.edge_users, self.edge_items,
+                            self.edge_w, self.n_users, self.n_items,
+                            self.row_scale, self.col_scale,
+                            self.gain * inv, mm_dtype=self.mm_dtype)
+        return DenseAdj(b * jnp.asarray(inv, b.dtype), self.edge_users,
+                        self.edge_items, self.edge_w,
+                        self.n_users, self.n_items)
+
     def refactor_view(self, keep: jnp.ndarray) -> "DenseAdj":
         """Symmetric-renormalized dropped view that STAYS int8-factored.
 

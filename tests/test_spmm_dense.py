@@ -66,13 +66,18 @@ def test_dense_reweight_matches_ell_dropout():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
-def test_adj_dropout_on_dense_raises():
-    """Per-step dropout on DenseAdj is a multi-GB-per-step rebuild cliff —
-    adj_dropout refuses it loudly (per-step models must use ELL)."""
-    U, I = 20, 15
+def test_adj_dropout_on_sharded_dense_raises():
+    """Per-step dropout is unsupported on the SHARDED dense layout —
+    adj_dropout refuses it loudly (mesh builds keep ELL/halo for per-step
+    dropout models). Single-device DenseAdj takes the dropout_view path
+    (test_dense_dropout_view_matches_edge_oracle)."""
+    from selfrec_tpu.parallel import dense_shard as ds
+    from selfrec_tpu.parallel.mesh import build_mesh
+
+    U, I = 20, 16
     eu, ei, w = bipartite_edges(U, I, 60, seed=4)
-    adj = d_ops.dense_adj_from_edges(eu, ei, w, U, I, dtype=jnp.float32)
-    with pytest.raises(TypeError, match="per-step dropout"):
+    adj = ds.build_sharded_dense(eu, ei, w, U, I, build_mesh(2, 4))
+    with pytest.raises(TypeError, match="ShardedDenseAdj"):
         g_ops.adj_dropout(adj, jax.random.PRNGKey(0), 0.3)
 
 
@@ -426,3 +431,61 @@ def test_dense_mat_forward_and_grad_match_edge_list(monkeypatch):
             jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(pull), mat.T @ g,
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_dense_dropout_view_matches_edge_oracle(monkeypatch):
+    """DenseAdj.dropout_view == edge-list dropout with the SAME keep mask
+    (reference sparse_dropout semantics: 1/(1-rate) rescale, no renorm).
+    The factored form must survive (B x keep stays binary, rescale folds
+    into gain). f32-forced for exactness."""
+    monkeypatch.setenv("SELFREC_TPU_DENSE_DTYPE", "float32")
+    U, I, D = 45, 60, 8
+    eu, ei, _ = bipartite_edges(U, I, 600, seed=20)
+    w = laplacian_weights(eu, ei, U, I)
+    adj = d_ops.dense_adj_from_edges(eu, ei, w, U, I)
+    assert adj.factored
+
+    key = jax.random.PRNGKey(7)
+    rate = 0.3
+    view = adj.dropout_view(key, rate)
+    assert view.factored  # still factored: binary block + scaled gain
+
+    # reproduce the mask the op drew (same key, same shape => identical)
+    keep = np.asarray(jax.random.uniform(key, adj.edge_w.shape) >= rate)
+    w2 = np.where(keep, w / (1.0 - rate), 0.0).astype(np.float32)
+    lap = unified_laplacian(eu, ei, w2, U, I)
+    x = np.random.default_rng(21).standard_normal((U + I, D)).astype(np.float32)
+    ref = np.asarray(g_ops.spmm(
+        g_ops.norm_adj_from_scipy(lap, ell=False), jnp.asarray(x)))
+    out = np.asarray(g_ops.spmm(view, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    # adj_dropout dispatches DenseAdj to dropout_view (traced rate ok)
+    out2 = np.asarray(g_ops.spmm(
+        g_ops.adj_dropout(adj, key, jnp.float32(rate)), jnp.asarray(x)))
+    np.testing.assert_allclose(out2, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_buir_e2e_dense_dropout_matches_ell_band(monkeypatch,
+                                                 tiny_graph_dataset):
+    """BUIR trains through per-step dense dropout_view to the same quality
+    band as the ELL path (RNG streams differ between the two dropout
+    formulations, so bands — not bit-equality — are the contract)."""
+    from selfrec_tpu.ops.spmm_dense import DenseAdj
+
+    from tests.test_models_e2e import run_model
+
+    monkeypatch.delenv("SELFREC_TPU_DENSE", raising=False)
+    model_ell, perf_ell = run_model(
+        "BUIR", tiny_graph_dataset,
+        extra={"n_layer": 2, "drop_rate": 0.2, "tau": 0.995})
+
+    monkeypatch.setenv("SELFREC_TPU_DENSE", "1")
+    monkeypatch.setenv("SELFREC_TPU_DENSE_DTYPE", "float32")
+    model, perf_dense = run_model(
+        "BUIR", tiny_graph_dataset,
+        extra={"n_layer": 2, "drop_rate": 0.2, "tau": 0.995})
+    assert isinstance(model.adj, DenseAdj)
+    for k in perf_ell:
+        assert abs(perf_ell[k] - perf_dense[k]) < 0.05, (
+            k, perf_ell[k], perf_dense[k])
