@@ -423,12 +423,23 @@ def bench_ncl():
     reference pays faiss-GPU here, NCL.py:35-44) plus structural +
     prototype InfoNCE batches. Whole-epoch timing makes the e-step cost
     visible (VERDICT r2 weak 7)."""
+    import jax
+    import numpy as np
+
     extra = {"n_layer": 3, "ssl_reg": 1e-6, "proto_reg": 1e-7, "tau": 0.05,
              "hyper_layers": 1, "alpha": 1.5, "num_clusters": 2000}
     model = _graph_model("NCL", extra)
     best_dt, spread = _timed_run_epochs(model, first_epoch=20)
+    # isolate the per-epoch k-means e-step (2 tables x 25 Lloyd iters,
+    # k=2000 — the part the reference pays faiss-GPU for)
+    model.epoch_setup(23)  # compile
+    t0 = time.time()
+    aux = model.epoch_setup(24)
+    np.asarray(jax.tree_util.tree_leaves(aux)[0])[:1]
+    spread["kmeans_estep_s"] = round(time.time() - t0, 3)
     n_ex = model.data.n_edges
-    log(f"[ncl] proto epoch {best_dt:.2f}s")
+    log(f"[ncl] proto epoch {best_dt:.2f}s"
+        f" (e-step {spread['kmeans_estep_s']}s)")
     return {
         "metric": "ncl_yelp2018scale_proto_train_throughput",
         "value": round(n_ex / best_dt, 1),
