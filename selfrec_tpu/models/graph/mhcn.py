@@ -25,7 +25,8 @@ from selfrec_tpu.data.social import Relation
 from selfrec_tpu.data.graph import normalize_graph_mat
 from selfrec_tpu.models.base import JAXGraphRecommender
 from selfrec_tpu.ops import losses
-from selfrec_tpu.ops.graph import norm_adj_from_scipy, spmm
+from selfrec_tpu.ops.graph import (
+    dense_general_available, norm_adj_from_scipy, spmm)
 from selfrec_tpu.ops.init import xavier_uniform
 from selfrec_tpu.ops.losses import l2_normalize
 
@@ -40,17 +41,29 @@ class MHCN(JAXGraphRecommender):
         self.ss_rate = float(args.get("ss_rate", 0.01))
         self.social_data = Relation(conf, kwargs["social.data"], self.data.user)
 
-        h_s, h_j, h_p = mhcn_hypergraphs(
-            self.social_data.get_social_mat(), self.data.interaction_mat
-        )
         # All five adjacencies are STATIC across training, so on a single
         # device they ride the generic dense MXU backend (DenseMat: one
         # bf16 matmul per channel per layer instead of an ELL gather chain
-        # — reference TF1 sparse matmuls, MHCN.py:183-201). Under a mesh
-        # they stay on the ELL/halo path (shard_adj contract).
+        # — reference TF1 sparse matmuls, MHCN.py:183-201), and the motif
+        # ALGEBRA itself runs on the MXU (data/motifs.py
+        # mhcn_hypergraphs_device — the scipy route took 75.7s of build at
+        # quarter-douban, ~25 min at full douban). Under a mesh everything
+        # stays on the scipy + ELL/halo path (shard_adj contract).
+        nu = self.data.user_num
         dg = self.mesh is None
-        self.H = [self.shard_adj(norm_adj_from_scipy(h, dense_general=dg))
-                  for h in (h_s, h_j, h_p)]
+        if dg and dense_general_available(nu, nu):
+            from selfrec_tpu.data.motifs import mhcn_hypergraphs_device
+            from selfrec_tpu.ops.spmm_dense import DenseMat, _generic_dtype
+
+            h_dense = mhcn_hypergraphs_device(
+                self.social_data.get_social_mat(), self.data.interaction_mat)
+            self.H = [DenseMat(h.astype(_generic_dtype())) for h in h_dense]
+        else:
+            h_s, h_j, h_p = mhcn_hypergraphs(
+                self.social_data.get_social_mat(), self.data.interaction_mat
+            )
+            self.H = [self.shard_adj(norm_adj_from_scipy(h, dense_general=dg))
+                      for h in (h_s, h_j, h_p)]
         r_norm = normalize_graph_mat(self.data.interaction_mat)  # D^-1 R
         self.R = self.shard_adj(norm_adj_from_scipy(r_norm, dense_general=dg))
         self.Rt = self.shard_adj(

@@ -58,11 +58,6 @@ class SEPT(JAXGraphRecommender):
         self.instance_cnt = int(args.get("ins_cnt", 10))
         self.social_data = Relation(conf, kwargs["social.data"], self.data.user)
 
-        social_view, sharing_view = sept_views(
-            self.social_data.get_birectional_social_mat(),
-            self.data.interaction_mat,
-            self.data.user_num,
-        )
         self.adj = self.make_adj()
         self._edge_users_dev = jnp.asarray(self.data.edge_users)
         self._edge_items_dev = jnp.asarray(self.data.edge_items)
@@ -72,18 +67,30 @@ class SEPT(JAXGraphRecommender):
 
         # Both social views are STATIC (U, U) matrices — on a single device
         # they ride the generic dense MXU backend (one matmul per view per
-        # layer — same DenseMat treatment as MHCN's channels). Under a mesh
-        # or over budget: friend + sharing pack over their UNION ELL layout
-        # (both patterns are (·)⊙S + I, SEPT.py:33-40, so the union costs
-        # barely more slots than one view while halving the gather-chain
-        # count — the TPU gather is per-slot-bound, BASELINE.md round 2).
+        # layer — same DenseMat treatment as MHCN's channels), and the view
+        # ALGEBRA ((S·S)⊙S, (Y·Yᵀ)⊙S) runs on the MXU too (data/motifs.py
+        # sept_views_device; the scipy route was 30.4s of build at
+        # quarter-douban). Under a mesh or over budget: friend + sharing
+        # pack over their UNION ELL layout (both patterns are (·)⊙S + I,
+        # SEPT.py:33-40, so the union costs barely more slots than one view
+        # while halving the gather-chain count — the TPU gather is
+        # per-slot-bound, BASELINE.md round 2).
         nu = self.data.user_num
         if self.mesh is None and dense_general_available(nu, nu):
-            self._social_d1 = norm_adj_from_scipy(
-                social_view, dense_general=True)
-            self._social_d2 = norm_adj_from_scipy(
-                sharing_view, dense_general=True)
+            from selfrec_tpu.data.motifs import sept_views_device
+            from selfrec_tpu.ops.spmm_dense import DenseMat, _generic_dtype
+
+            v1, v2 = sept_views_device(
+                self.social_data.get_birectional_social_mat(),
+                self.data.interaction_mat, nu)
+            self._social_d1 = DenseMat(v1.astype(_generic_dtype()))
+            self._social_d2 = DenseMat(v2.astype(_generic_dtype()))
         else:
+            social_view, sharing_view = sept_views(
+                self.social_data.get_birectional_social_mat(),
+                self.data.interaction_mat,
+                self.data.user_num,
+            )
             social_template, social_w = union_ell_template(
                 [social_view, sharing_view]
             )

@@ -234,3 +234,35 @@ def test_sept_e2e_dense_matches_ell(monkeypatch, tiny_social_dataset):
     for k in perf_ell:
         assert abs(perf_ell[k] - perf_dense[k]) < 2e-3, (
             k, perf_ell[k], perf_dense[k])
+
+
+def test_device_motifs_match_scipy_exactly():
+    """mhcn_hypergraphs_device / sept_views_device == the scipy route
+    element-for-element (Precision.HIGHEST keeps integer motif counts
+    exact in f32)."""
+    import scipy.sparse as sp
+
+    from selfrec_tpu.data import motifs
+
+    rng = np.random.default_rng(11)
+    n_u, n_i = 40, 55
+    S = sp.random(n_u, n_u, density=0.12, random_state=4, format="csr")
+    S.data[:] = 1.0
+    S.setdiag(0)
+    S.eliminate_zeros()
+    Y = sp.random(n_u, n_i, density=0.15, random_state=5, format="csr")
+    Y.data[:] = 1.0
+
+    host = motifs.mhcn_hypergraphs(S, Y)
+    dev = motifs.mhcn_hypergraphs_device(S, Y)
+    for h_host, h_dev in zip(host, dev):
+        np.testing.assert_allclose(
+            np.asarray(h_dev), h_host.toarray(), rtol=1e-6, atol=1e-6)
+
+    B = S.multiply(S.T)  # bidirectional quirk surface feeds sept_views
+    host_s, host_sh = motifs.sept_views(B, Y, n_u)
+    dev_s, dev_sh = motifs.sept_views_device(B, Y, n_u)
+    np.testing.assert_allclose(np.asarray(dev_s), host_s.toarray(),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dev_sh), host_sh.toarray(),
+                               rtol=1e-6, atol=1e-6)
