@@ -489,3 +489,20 @@ def test_buir_e2e_dense_dropout_matches_ell_band(monkeypatch,
     for k in perf_ell:
         assert abs(perf_ell[k] - perf_dense[k]) < 0.05, (
             k, perf_ell[k], perf_dense[k])
+
+
+def test_simgcl_e2e_int8x8_learns(monkeypatch, tiny_graph_dataset):
+    """Full SimGCL train/test cycle with the int8x8 quantized mode forced
+    on CPU: the per-channel quantized propagation + straight-through VJP
+    must train to the same quality band as the default path (regression
+    lock for the opt-in production mode; convergence-grade gates live in
+    results/h2h/our_*_int8x8.log / PARITY.md)."""
+    from tests.test_models_e2e import run_model
+
+    monkeypatch.setenv("SELFREC_TPU_DENSE", "1")
+    monkeypatch.setenv("SELFREC_TPU_DENSE_DTYPE", "int8")
+    model, perf = run_model(
+        "SimGCL", tiny_graph_dataset,
+        extra={"n_layer": 2, "lambda": 0.5, "eps": 0.1})
+    assert model.adj.factored and model.adj.mm_dtype == jnp.int8
+    assert perf["Recall"] > 0.2
