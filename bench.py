@@ -479,7 +479,7 @@ def bench_buir():
         "metric": "buir_yelp2018scale_train_throughput",
         "value": round(eps, 1),
         "unit": "examples/s",
-        "ref_key": None,
+        "ref_key": "buir",
         "detail": {**spread, "methodology": "50-batch dispatch"},
     }
 

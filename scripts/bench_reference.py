@@ -661,9 +661,48 @@ def bench_sept():
                           "synthetic"}
 
 
+def bench_buir():
+    """Reference BUIR (model/graph/BUIR.py:22-41): per-batch online+target
+    LGCN forwards with per-step sparse dropout, predictor BPR-free loss,
+    momentum update of the touched target rows — the reference's own torch
+    code on host CPU, same yelp2018-scale synthetic workload bench.py's
+    buir runs."""
+    conf, train, test = _graph_workload("BUIR")
+    from model.graph.BUIR import BUIR
+    from util.sampler import next_batch_pairwise
+
+    rec = BUIR(conf, train, test)
+    model = rec.model
+    opt = torch.optim.Adam(model.parameters(), lr=rec.lRate)
+
+    n_ex, t0 = 0, None
+    for n, batch in enumerate(next_batch_pairwise(rec.data, rec.batch_size)):
+        if n == N_WARM:
+            t0 = time.time()
+            n_ex = 0
+        if n == N_WARM + N_BENCH:
+            break
+        user_idx, i_idx, j_idx = batch
+        model.train()
+        output = model({"user": user_idx, "item": i_idx})
+        batch_loss = model.get_loss(output)
+        opt.zero_grad()
+        batch_loss.backward()
+        opt.step()
+        model.update_target(user_idx, i_idx)
+        if t0 is not None:
+            n_ex += len(user_idx)
+    dt = time.time() - t0
+    eps = n_ex / dt
+    print("buir:", N_BENCH, "batches,", n_ex, "ex,", dt, "s", flush=True)
+    return {"examples_per_sec": round(eps, 1), "unit": "examples/s",
+            "conditions": "reference's own torch code, host CPU, "
+                          "yelp2018-scale synthetic, BUIR.yaml defaults"}
+
+
 WORKLOADS = {"simgcl": bench_simgcl, "sasrec": bench_sasrec,
              "sgl": bench_sgl, "ncl": bench_ncl, "mixgcf": bench_mixgcf,
-             "mhcn": bench_mhcn, "sept": bench_sept}
+             "mhcn": bench_mhcn, "sept": bench_sept, "buir": bench_buir}
 
 
 def main():
