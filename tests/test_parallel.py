@@ -206,3 +206,25 @@ def test_sept_sharded_joint_matches_unsharded(tiny_graph_dataset):
     single = run(None)
     sharded = run({"data": 2, "model": 2})
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_example_conf_runs(tiny_graph_dataset):
+    """conf/SimGCL-mesh.yaml (the documented multi-chip example) builds a
+    (4, 2) mesh and runs a full epoch on the 8-virtual-device CPU mesh —
+    locks the shipped example config against schema drift."""
+    import os
+
+    train, test = tiny_graph_dataset
+    conf = ModelConf(os.path.join(os.path.dirname(__file__), "..",
+                                  "conf", "SimGCL-mesh.yaml"))
+    conf.config["training.set"] = "<mem>"
+    conf.config["test.set"] = "<mem>"
+    conf.config["max.epoch"] = 1
+    conf.config["batch.size"] = 64
+    conf.config["seed"] = 3
+    model = get_model_class("SimGCL")(conf, train, test)
+    assert model.mesh is not None and model.mesh.devices.size == 8
+    model.build()
+    model.run_epoch(0)
+    u, i = model._compute_emb_jit(model.params)
+    assert np.all(np.isfinite(np.asarray(u, dtype=np.float32)))
