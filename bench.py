@@ -25,12 +25,14 @@ Workloads (VERDICT round-1 item 5 — one workload per engine):
 - ``eval``    — the PRODUCTION per-epoch eval path at yelp2018 scale:
   device top-k ids + vectorized id metrics (string path in detail).
 
-Reference comparators come from REF_BASELINES.json (measured on this box by
-scripts/bench_reference.py — the reference's own torch code on host CPU for
-simgcl/sasrec/sgl/ncl/mixgcf, an op-for-op torch transliteration of the TF1
-graph for mhcn); ``vs_baseline`` is null only where no comparator is
-constructible (sept joint tri-training; the reference's eval is a per-user
-numba loop and numba isn't installed).
+Further workloads: ``xsimgcl`` (the reference leaderboard's top model,
+single perturbed chain) and ``buir`` (per-step dense dropout_view).
+Reference comparators come from REF_BASELINES.json (measured on this box
+by scripts/bench_reference.py — the reference's own torch code on host
+CPU for simgcl/xsimgcl/sasrec/sgl/ncl/mixgcf/buir, op-for-op torch
+transliterations of the TF1 graphs for mhcn/sept); ``vs_baseline`` is
+null only for eval (the reference's eval is a per-user numba loop and
+numba isn't installed).
 
 Writes every workload to BENCH_MATRIX.json and prints the headline SimGCL
 line (ONE JSON line, driver contract) to stdout last.
@@ -484,6 +486,27 @@ def bench_buir():
     }
 
 
+def bench_xsimgcl():
+    """XSimGCL — the reference leaderboard's TOP model (README.md:144) —
+    headline hyperparams (layer=3, l_star=1, lambda=0.2, eps=0.2,
+    tau=0.15): ONE perturbed propagation chain serves both the rec and cl
+    losses, so the whole epoch fits one dispatch well under the tunnel's
+    program-kill threshold."""
+    extra = {"n_layer": 3, "l_star": 1, "lambda": 0.2, "eps": 0.2,
+             "tau": 0.15}
+    model = _graph_model("XSimGCL", extra)
+    best_dt, spread = _timed_run_epochs(model)
+    n_ex = model.data.n_edges
+    log(f"[xsimgcl] epoch {best_dt:.2f}s")
+    return {
+        "metric": "xsimgcl_yelp2018scale_train_throughput",
+        "value": round(n_ex / best_dt, 1),
+        "unit": "examples/s",
+        "ref_key": "xsimgcl",
+        "detail": spread,
+    }
+
+
 def bench_eval():
     """Times the PRODUCTION per-epoch eval path (what fast_evaluation runs:
     device top-k ids + vectorized id-array metrics, models/base.py
@@ -557,6 +580,7 @@ WORKLOADS = {
     "ncl": bench_ncl,
     "sgl": bench_sgl,
     "buir": bench_buir,
+    "xsimgcl": bench_xsimgcl,
 }
 
 

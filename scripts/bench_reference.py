@@ -700,9 +700,53 @@ def bench_buir():
                           "yelp2018-scale synthetic, BUIR.yaml defaults"}
 
 
+def bench_xsimgcl():
+    """Reference XSimGCL (model/graph/XSimGCL.py:26-43, the reference
+    leaderboard's TOP model README.md:144): single perturbed forward
+    returning both rec and cl layers, headline hyperparams (layer=3)."""
+    conf, train, test = _graph_workload(
+        "XSimGCL", conf_edit=lambda c: c.config["XSimGCL"].update(
+            {"n_layer": 3, "l_star": 1}))
+    from model.graph.XSimGCL import XSimGCL
+    from util.sampler import next_batch_pairwise
+    from util.loss_torch import bpr_loss, l2_reg_loss
+
+    rec = XSimGCL(conf, train, test)
+    model = rec.model
+    opt = torch.optim.Adam(model.parameters(), lr=rec.lRate)
+
+    n_ex, t0 = 0, None
+    for n, batch in enumerate(next_batch_pairwise(rec.data, rec.batch_size)):
+        if n == N_WARM:
+            t0 = time.time()
+            n_ex = 0
+        if n == N_WARM + N_BENCH:
+            break
+        user_idx, pos_idx, neg_idx = batch
+        rec_u, rec_i, cl_u, cl_i = model(True)
+        user_emb, pos_item_emb, neg_item_emb = (
+            rec_u[user_idx], rec_i[pos_idx], rec_i[neg_idx])
+        rec_loss = bpr_loss(user_emb, pos_item_emb, neg_item_emb)
+        cl_loss = rec.cl_rate * rec.cal_cl_loss(
+            [user_idx, pos_idx], rec_u, cl_u, rec_i, cl_i)
+        batch_loss = rec_loss + l2_reg_loss(
+            rec.reg, user_emb, pos_item_emb) + cl_loss
+        opt.zero_grad()
+        batch_loss.backward()
+        opt.step()
+        if t0 is not None:
+            n_ex += len(user_idx)
+    dt = time.time() - t0
+    print("xsimgcl:", N_BENCH, "batches,", n_ex, "ex,", dt, "s", flush=True)
+    return {"examples_per_sec": round(n_ex / dt, 1), "unit": "examples/s",
+            "conditions": "torch host CPU, yelp2018-scale synthetic, "
+                          "layer=3 l_star=1 batch=2048 emb=64"}
+
+
 WORKLOADS = {"simgcl": bench_simgcl, "sasrec": bench_sasrec,
              "sgl": bench_sgl, "ncl": bench_ncl, "mixgcf": bench_mixgcf,
-             "mhcn": bench_mhcn, "sept": bench_sept, "buir": bench_buir}
+             "mhcn": bench_mhcn, "sept": bench_sept, "buir": bench_buir,
+             "xsimgcl": bench_xsimgcl}
 
 
 def main():
