@@ -134,7 +134,7 @@ def _simgcl_mode(train, test, tag):
 def bench_simgcl():
     """Headline: the int8x8 quantized-operand MXU mode (both propagation
     matmuls native s8 x s8, 394 TOPS on v5e vs 197 TFLOPS bf16) — a REAL
-    numerics change, so it ships with 30-epoch convergence gates vs both
+    numerics change, so it ships with 7-model convergence gates vs both
     the bf16 mode and the reference's own torch runs (results/h2h/
     our_*_30_int8x8.log, PARITY.md "Quantized-mode convergence"). The
     framework default stays bf16 (reference-parity mode); its number is
@@ -168,9 +168,10 @@ def bench_simgcl():
             "mode": "int8x8 quantized propagation "
                     "(SELFREC_TPU_DENSE_DTYPE=int8; framework default is "
                     "bf16 — see modes.bf16_default)",
-            "quality_gates": "results/h2h/our_{SGL,XSimGCL,MixGCF,NCL}"
-                             "_30_int8x8.log + our_simgcl*_int8*.log, "
-                             "PARITY.md",
+            "quality_gates": "7 models: results/h2h/our_{SGL,XSimGCL,"
+                             "MixGCF,NCL,DirectAU}_30_int8x8.log + "
+                             "our_simgcl20_int8x8.log + "
+                             "our_lightgcn100_int8x8.log, PARITY.md",
             "modes": modes,
         },
     }
