@@ -20,8 +20,10 @@ Workloads (VERDICT round-1 item 5 — one workload per engine):
   structural/prototype InfoNCE (the reference pays faiss-GPU here).
 - ``mixgcf``  — n_negs=64 hard-negative mixing.
 - ``mhcn``/``sept`` — social engine on QUARTER-douban synthetic
-  interactions + trust (full-douban motif precompute is ~25 host-min;
-  metric names say quarterdouban — what actually runs).
+  interactions + trust (metric names say quarterdouban — what actually
+  runs; full-douban is practical since the motif algebra moved on-device
+  but its ~70s linear host data build exceeds the per-round budget — see
+  scripts/bench_douban_full.py + DOUBAN_FULLSCALE.json for full scale).
 - ``eval``    — the PRODUCTION per-epoch eval path at yelp2018 scale:
   device top-k ids + vectorized id metrics (string path in detail).
 
