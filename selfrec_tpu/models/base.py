@@ -413,13 +413,23 @@ class JAXGraphRecommender(GraphRecommender):
         No-op on a single device."""
         if self.mesh is None:
             return adj
-        from selfrec_tpu.ops.spmm_dense import DenseAdj
+        from selfrec_tpu.ops.spmm_dense import DenseAdj, DenseMat
         from selfrec_tpu.ops.spmm_ell import EllAdj
 
         if isinstance(adj, DenseAdj):
             from selfrec_tpu.parallel.dense_shard import sharded_dense_from_dense
 
             return sharded_dense_from_dense(adj, self.mesh)
+        if isinstance(adj, DenseMat):
+            # static square/rect matrix (MHCN/SEPT social engine): row-shard
+            # the block over the WHOLE device grid — dense_mat_spmm's
+            # jnp.dot then runs local rows x (gathered) operand under GSPMD,
+            # so collectives are (n, D) operand-sized, never n x n
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(
+                self.mesh, P((mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS), None))
+            return DenseMat(jax.device_put(adj.a, sh))
         if (isinstance(adj, EllAdj)
                 and self.mesh.shape[mesh_lib.MODEL_AXIS] > 1):
             from selfrec_tpu.parallel.halo import halo_from_ell

@@ -41,23 +41,24 @@ class MHCN(JAXGraphRecommender):
         self.ss_rate = float(args.get("ss_rate", 0.01))
         self.social_data = Relation(conf, kwargs["social.data"], self.data.user)
 
-        # All five adjacencies are STATIC across training, so on a single
-        # device they ride the generic dense MXU backend (DenseMat: one
-        # bf16 matmul per channel per layer instead of an ELL gather chain
-        # — reference TF1 sparse matmuls, MHCN.py:183-201), and the motif
-        # ALGEBRA itself runs on the MXU (data/motifs.py
-        # mhcn_hypergraphs_device — the scipy route took 75.7s of build at
-        # quarter-douban, ~25 min at full douban). Under a mesh everything
-        # stays on the scipy + ELL/halo path (shard_adj contract).
+        # All five adjacencies are STATIC across training, so they ride the
+        # generic dense MXU backend (DenseMat: one bf16 matmul per channel
+        # per layer instead of an ELL gather chain — reference TF1 sparse
+        # matmuls, MHCN.py:183-201), and the motif ALGEBRA itself runs on
+        # the MXU (data/motifs.py mhcn_hypergraphs_device — the scipy route
+        # took 75.7s of build at quarter-douban, ~25 min at full douban).
+        # Under a mesh shard_adj row-shards each block over the device
+        # grid; over budget / CPU-auto falls back to scipy + ELL/halo.
         nu = self.data.user_num
-        dg = self.mesh is None
-        if dg and dense_general_available(nu, nu):
+        dg = dense_general_available(nu, nu)
+        if dg:
             from selfrec_tpu.data.motifs import mhcn_hypergraphs_device
             from selfrec_tpu.ops.spmm_dense import DenseMat, _generic_dtype
 
             h_dense = mhcn_hypergraphs_device(
                 self.social_data.get_social_mat(), self.data.interaction_mat)
-            self.H = [DenseMat(h.astype(_generic_dtype())) for h in h_dense]
+            self.H = [self.shard_adj(DenseMat(h.astype(_generic_dtype())))
+                      for h in h_dense]
         else:
             h_s, h_j, h_p = mhcn_hypergraphs(
                 self.social_data.get_social_mat(), self.data.interaction_mat

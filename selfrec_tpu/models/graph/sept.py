@@ -65,26 +65,29 @@ class SEPT(JAXGraphRecommender):
         self._view_template = self._w_rec = None
         self._social_d1 = self._social_d2 = self._aug_view = None
 
-        # Both social views are STATIC (U, U) matrices — on a single device
-        # they ride the generic dense MXU backend (one matmul per view per
-        # layer — same DenseMat treatment as MHCN's channels), and the view
-        # ALGEBRA ((S·S)⊙S, (Y·Yᵀ)⊙S) runs on the MXU too (data/motifs.py
+        # Both social views are STATIC (U, U) matrices — they ride the
+        # generic dense MXU backend (one matmul per view per layer — same
+        # DenseMat treatment as MHCN's channels; under a mesh shard_adj
+        # row-shards each block over the grid), and the view ALGEBRA
+        # ((S·S)⊙S, (Y·Yᵀ)⊙S) runs on the MXU too (data/motifs.py
         # sept_views_device; the scipy route was 30.4s of build at
-        # quarter-douban). Under a mesh or over budget: friend + sharing
-        # pack over their UNION ELL layout (both patterns are (·)⊙S + I,
+        # quarter-douban). Over budget / CPU-auto: friend + sharing pack
+        # over their UNION ELL layout (both patterns are (·)⊙S + I,
         # SEPT.py:33-40, so the union costs barely more slots than one view
         # while halving the gather-chain count — the TPU gather is
         # per-slot-bound, BASELINE.md round 2).
         nu = self.data.user_num
-        if self.mesh is None and dense_general_available(nu, nu):
+        if dense_general_available(nu, nu):
             from selfrec_tpu.data.motifs import sept_views_device
             from selfrec_tpu.ops.spmm_dense import DenseMat, _generic_dtype
 
             v1, v2 = sept_views_device(
                 self.social_data.get_birectional_social_mat(),
                 self.data.interaction_mat, nu)
-            self._social_d1 = DenseMat(v1.astype(_generic_dtype()))
-            self._social_d2 = DenseMat(v2.astype(_generic_dtype()))
+            self._social_d1 = self.shard_adj(
+                DenseMat(v1.astype(_generic_dtype())))
+            self._social_d2 = self.shard_adj(
+                DenseMat(v2.astype(_generic_dtype())))
         else:
             social_view, sharing_view = sept_views(
                 self.social_data.get_birectional_social_mat(),

@@ -228,3 +228,51 @@ def test_mesh_example_conf_runs(tiny_graph_dataset):
     model.run_epoch(0)
     u, i = model._compute_emb_jit(model.params)
     assert np.all(np.isfinite(np.asarray(u, dtype=np.float32)))
+
+
+def test_social_dense_sharded_matches_unsharded(monkeypatch,
+                                                tiny_graph_dataset):
+    """MHCN with its five DenseMat adjacencies row-sharded over a (2, 2)
+    mesh (shard_adj DenseMat branch) trains to the same losses as the
+    single-device dense run (f32-forced: exact up to op order)."""
+    monkeypatch.setenv("SELFREC_TPU_DENSE", "1")
+    monkeypatch.setenv("SELFREC_TPU_DENSE_DTYPE", "float32")
+    rng = np.random.default_rng(5)
+    train, test = tiny_graph_dataset
+    relations = []
+    for u in range(40):
+        g = u % 4
+        peers = [v for v in range(40) if v % 4 == g and v != u]
+        for v in rng.choice(peers, size=3, replace=False):
+            relations.append((f"u{u}", f"u{v}", 1.0))
+
+    from selfrec_tpu.ops.spmm_dense import DenseMat
+
+    def run(mesh):
+        conf_d = {
+            "training.set": "<memory>",
+            "test.set": "<memory>",
+            "social.data": "<memory>",
+            "model": {"name": "MHCN", "type": "graph"},
+            "item.ranking.topN": [5],
+            "embedding.size": 16,
+            "max.epoch": 3,
+            "batch.size": 64,
+            "learning.rate": 0.02,
+            "reg.lambda": 0.0001,
+            "MHCN": {"n_layer": 2, "ss_rate": 0.01},
+            "output": "/tmp/selfrec_tpu_test_results/",
+            "seed": 42,
+        }
+        if mesh:
+            conf_d["mesh"] = mesh
+        model = get_model_class("MHCN")(
+            ModelConf(conf_d), train, test, **{"social.data": relations})
+        assert all(isinstance(h, DenseMat) for h in model.H)
+        model.build()
+        losses = [np.asarray(model.run_epoch(e)) for e in range(3)]
+        return np.concatenate(losses)
+
+    single = run(None)
+    sharded = run({"data": 2, "model": 2})
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-4)
