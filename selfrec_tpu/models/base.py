@@ -422,14 +422,14 @@ class JAXGraphRecommender(GraphRecommender):
             return sharded_dense_from_dense(adj, self.mesh)
         if isinstance(adj, DenseMat):
             # static square/rect matrix (MHCN/SEPT social engine): row-shard
-            # the block over the WHOLE device grid — dense_mat_spmm's
-            # jnp.dot then runs local rows x (gathered) operand under GSPMD,
-            # so collectives are (n, D) operand-sized, never n x n
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            # the block over the WHOLE device grid and run the EXPLICIT
+            # shard_map kernel (parallel/dense_shard.ShardedDenseMat) —
+            # forward is the local-rows matmul, backward a psum of (N, D)
+            # partials, so collectives stay operand-sized, never n x n
+            # (GSPMD's own resolution all-gathers the block at small sizes)
+            from selfrec_tpu.parallel.dense_shard import shard_dense_mat
 
-            sh = NamedSharding(
-                self.mesh, P((mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS), None))
-            return DenseMat(jax.device_put(adj.a, sh))
+            return shard_dense_mat(adj, self.mesh)
         if (isinstance(adj, EllAdj)
                 and self.mesh.shape[mesh_lib.MODEL_AXIS] > 1):
             from selfrec_tpu.parallel.halo import halo_from_ell

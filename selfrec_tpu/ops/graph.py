@@ -66,13 +66,16 @@ def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
         DenseAdj, DenseMat, dense_mat_spmm, dense_spmm)
     from selfrec_tpu.ops.spmm_ell import EllAdj, ell_spmm
     from selfrec_tpu.parallel.dense_shard import (
-        ShardedDenseAdj, sharded_dense_spmm)
+        ShardedDenseAdj, ShardedDenseMat, sharded_dense_mat_spmm,
+        sharded_dense_spmm)
     from selfrec_tpu.parallel.halo import HaloAdj, halo_spmm
 
     if isinstance(adj, DenseAdj):
         return dense_spmm(adj, x)
     if isinstance(adj, DenseMat):
         return dense_mat_spmm(adj, x)
+    if isinstance(adj, ShardedDenseMat):
+        return sharded_dense_mat_spmm(adj, x)
     if isinstance(adj, ShardedDenseAdj):
         return sharded_dense_spmm(adj, x)
     if isinstance(adj, EllAdj):

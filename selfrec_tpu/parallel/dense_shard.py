@@ -399,3 +399,112 @@ def _bwd(adj, g):
 
 
 sharded_dense_spmm.defvjp(_fwd, _bwd)
+
+
+# -- generic dense matrix (DenseMat) under the mesh --------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class ShardedDenseMat:
+    """Row-sharded static dense (M, N) matrix (ops/spmm_dense.DenseMat
+    under a mesh — MHCN's social channels / rating blocks, SEPT's views).
+
+    ``a`` is (M_pad, N) placed P((data, model), None): each device holds a
+    contiguous row block. The matmul runs as an EXPLICIT shard_map (not
+    GSPMD resolution — whose cost model happily all-gathers the whole
+    block at small sizes, which would be catastrophic at douban scale):
+    forward is the local-rows matmul (zero collectives on the block;
+    output row-sharded), and the custom VJP computes d_x as a psum over
+    the grid of the local a_blk^T @ g_blk partials — every collective is
+    (N, D) operand-sized, never (M, N)."""
+
+    def __init__(self, a, n_rows: int, mesh: Mesh):
+        self.a = a
+        self.n_rows = n_rows
+        self.n_nodes = n_rows  # DenseMat API
+        self.mesh = mesh
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.a.shape[1])
+
+    def tree_flatten(self):
+        return (self.a,), (self.n_rows, self.mesh)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    def __repr__(self):
+        return (f"ShardedDenseMat({self.n_rows}x{self.a.shape[1]}, "
+                f"{self.a.dtype}, {self.mesh.devices.size} devices)")
+
+
+def shard_dense_mat(dm, mesh: Mesh) -> ShardedDenseMat:
+    """Place a DenseMat's block row-sharded over the whole device grid
+    (rows padded to a multiple of the device count)."""
+    ndev = mesh.devices.size
+    m = dm.a.shape[0]
+    m_pad = _ceil_to(max(m, ndev), ndev)
+    a = dm.a
+    if m_pad != m:
+        a = jnp.concatenate(
+            [a, jnp.zeros((m_pad - m, a.shape[1]), a.dtype)])
+    sh = NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None))
+    return ShardedDenseMat(jax.device_put(a, sh), m, mesh)
+
+
+def _mat_apply(adj: ShardedDenseMat, x: jnp.ndarray) -> jnp.ndarray:
+    def f(a_blk, xx):
+        return jnp.dot(a_blk, xx.astype(a_blk.dtype),
+                       preferred_element_type=jnp.float32)
+
+    out = jax.shard_map(
+        f, mesh=adj.mesh,
+        in_specs=(P((DATA_AXIS, MODEL_AXIS), None), P(None, None)),
+        out_specs=P((DATA_AXIS, MODEL_AXIS), None),
+        check_vma=False,
+    )(adj.a, x)
+    return out[: adj.n_rows].astype(x.dtype)
+
+
+@jax.custom_vjp
+def sharded_dense_mat_spmm(adj: ShardedDenseMat, x: jnp.ndarray):
+    return _mat_apply(adj, x)
+
+
+def _mat_fwd(adj, x):
+    return _mat_apply(adj, x), adj
+
+
+def _mat_bwd(adj, g):
+    m_pad = adj.a.shape[0]
+    pad = m_pad - g.shape[0]
+    g32 = g.astype(jnp.float32)
+    if pad:
+        g32 = jnp.concatenate(
+            [g32, jnp.zeros((pad,) + g.shape[1:], jnp.float32)])
+
+    def b(a_blk, g_blk):
+        part = jnp.dot(a_blk.T.astype(jnp.float32), g_blk,
+                       preferred_element_type=jnp.float32)
+        part = jax.lax.psum(part, DATA_AXIS)
+        return jax.lax.psum(part, MODEL_AXIS)
+
+    d_x = jax.shard_map(
+        b, mesh=adj.mesh,
+        in_specs=(P((DATA_AXIS, MODEL_AXIS), None),
+                  P((DATA_AXIS, MODEL_AXIS), None)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )(adj.a, g32)
+    zero_adj = jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        if jnp.issubdtype(a.dtype, jnp.integer)
+        else jnp.zeros_like(a),
+        adj,
+    )
+    return zero_adj, d_x.astype(g.dtype)
+
+
+sharded_dense_mat_spmm.defvjp(_mat_fwd, _mat_bwd)

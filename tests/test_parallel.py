@@ -247,6 +247,7 @@ def test_social_dense_sharded_matches_unsharded(monkeypatch,
             relations.append((f"u{u}", f"u{v}", 1.0))
 
     from selfrec_tpu.ops.spmm_dense import DenseMat
+    from selfrec_tpu.parallel.dense_shard import ShardedDenseMat
 
     def run(mesh):
         conf_d = {
@@ -268,7 +269,8 @@ def test_social_dense_sharded_matches_unsharded(monkeypatch,
             conf_d["mesh"] = mesh
         model = get_model_class("MHCN")(
             ModelConf(conf_d), train, test, **{"social.data": relations})
-        assert all(isinstance(h, DenseMat) for h in model.H)
+        want = ShardedDenseMat if mesh else DenseMat
+        assert all(isinstance(h, want) for h in model.H)
         model.build()
         losses = [np.asarray(model.run_epoch(e)) for e in range(3)]
         return np.concatenate(losses)
@@ -276,3 +278,69 @@ def test_social_dense_sharded_matches_unsharded(monkeypatch,
     single = run(None)
     sharded = run({"data": 2, "model": 2})
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-4)
+
+
+def test_social_dense_sharded_hlo_no_uxu_collectives(monkeypatch,
+                                                     tiny_graph_dataset):
+    """The row-sharded DenseMat contract: the compiled MHCN mesh epoch
+    must never move a (U, U)-block-sized payload — GSPMD's resolution of
+    the local-rows matmul has to stay (n, D) operand-sized."""
+    from scripts.audit_collectives import audit_hlo
+    from selfrec_tpu.ops import sampling
+    from selfrec_tpu.parallel.dense_shard import ShardedDenseMat
+
+    monkeypatch.setenv("SELFREC_TPU_DENSE", "1")
+    monkeypatch.setenv("SELFREC_TPU_DENSE_DTYPE", "float32")
+    rng = np.random.default_rng(5)
+    train, test = tiny_graph_dataset
+    relations = []
+    for u in range(40):
+        g = u % 4
+        peers = [v for v in range(40) if v % 4 == g and v != u]
+        for v in rng.choice(peers, size=3, replace=False):
+            relations.append((f"u{u}", f"u{v}", 1.0))
+    conf_d = {
+        "training.set": "<memory>", "test.set": "<memory>",
+        "social.data": "<memory>",
+        "model": {"name": "MHCN", "type": "graph"},
+        "item.ranking.topN": [5], "embedding.size": 16,
+        "max.epoch": 1, "batch.size": 64, "learning.rate": 0.02,
+        "reg.lambda": 0.0001, "MHCN": {"n_layer": 2, "ss_rate": 0.01},
+        "mesh": {"data": 2, "model": 2},
+        "output": "/tmp/selfrec_tpu_test_results/", "seed": 0,
+    }
+    model = get_model_class("MHCN")(
+        ModelConf(conf_d), train, test, **{"social.data": relations})
+    assert all(isinstance(h, ShardedDenseMat) for h in model.H)
+    model.build()
+    epoch_fn = model._make_epoch_fn()
+    users, items, masks = sampling.epoch_pairwise_batches(
+        model.epoch_rng(0), model.data.edge_users, model.data.edge_items,
+        model.batch_size)
+    aux = model.epoch_setup(0)
+    sb = mesh_lib.scan_batch_sharding(model.mesh)
+    args = [jax.device_put(jnp.asarray(a), sb) for a in (users, items, masks)]
+    hlo = epoch_fn.lower(model.params, model.opt_state, model.key, aux,
+                         *args, model._scan_consts()).compile().as_text()
+    counts = audit_hlo(hlo)
+    n_u, n_i = model.data.user_num, model.data.item_num
+    # structural bound: every collective must be OPERAND-sized
+    # ((max(U, I), D) f32) — never a (U, U) / (U, I) block (the naive GSPMD
+    # resolution all-gathered the whole R block here before the explicit
+    # ShardedDenseMat shard_map kernel)
+    operand_payload = max(n_u, n_i, model.batch_size) * model.emb_size * 4
+    block_payload = n_u * n_i * 4
+    assert operand_payload < block_payload  # the bound is meaningful
+    import re
+
+    for op, rec in counts.items():
+        # fused collectives move TUPLES (e.g. the DP gradient all-reduce)
+        # — the invariant is per-TENSOR: no element is an (n, n) block
+        for dims in re.findall(r"\[([0-9,]+)\]", rec["largest_shape"]):
+            n_elems = 1
+            for d in dims.split(","):
+                n_elems *= int(d)
+            assert n_elems * 4 <= operand_payload, (
+                f"{op} moves a {dims} tensor "
+                f"({rec['largest_shape']}) — bigger than an operand "
+                f"block ({operand_payload}B)")
