@@ -234,6 +234,51 @@ def bench_sasrec():
     }
 
 
+def _seq_workload(name, extra, metric):
+    from selfrec_tpu.data.io import load_data_set
+    from selfrec_tpu.models import get_model_class
+
+    train = load_data_set(
+        "/root/reference/dataset/amazon-beauty/train.txt", "sequential")
+    test = load_data_set(
+        "/root/reference/dataset/amazon-beauty/test.txt", "sequential")
+    conf = _graph_conf(name, extra, type="sequential",
+                       **{"batch.size": 256, "max.len": 50})
+    model = get_model_class(name)(conf, train, test)
+    model.build()
+    best_dt, spread = _timed_run_epochs(model)
+    n_seqs = len(model.data.original_seq)
+    log(f"[{metric}] epoch {best_dt:.2f}s, {n_seqs} sequences")
+    return {
+        "metric": f"{metric}_amazonbeauty_train_throughput",
+        "value": round(n_seqs / best_dt, 1),
+        "unit": "sequences/s",
+        "ref_key": metric,
+        "detail": spread,
+    }
+
+
+def bench_bert4rec():
+    """BERT4Rec — the masked-LM sequential family: on-device item masking
+    + bidirectional encoder + full-softmax CE (reference hosts the masking
+    in Python per batch, BERT4Rec.py:31-45)."""
+    return _seq_workload(
+        "BERT4Rec",
+        {"n_blocks": 2, "drop_rate": 0.2, "n_heads": 1, "mask_rate": 0.5},
+        "bert4rec")
+
+
+def bench_cl4srec():
+    """CL4SRec — contrastive sequential family: main forward + two
+    crop-augmented forwards + InfoNCE per batch (reference crops on host,
+    CL4SRec.py:36-60)."""
+    return _seq_workload(
+        "CL4SRec",
+        {"n_blocks": 2, "drop_rate": 0.2, "n_heads": 1, "aug_type": 0,
+         "aug_rate": 0.5, "cl_rate": 0.05},
+        "cl4srec")
+
+
 def bench_mhcn():
     # quarter-douban scale: full douban motif precompute takes ~25 host-min
     # (dense H_p/H_j products) — too slow for a per-round bench, and the
@@ -584,6 +629,8 @@ WORKLOADS = {
     "sgl": bench_sgl,
     "buir": bench_buir,
     "xsimgcl": bench_xsimgcl,
+    "bert4rec": bench_bert4rec,
+    "cl4srec": bench_cl4srec,
 }
 
 

@@ -743,10 +743,97 @@ def bench_xsimgcl():
                           "layer=3 l_star=1 batch=2048 emb=64"}
 
 
+def _seq_epoch_bench(name, step_fn):
+    """One warm epoch then one timed epoch of the reference's own
+    sequential training loop (same contract as bench_sasrec)."""
+    os.chdir("/root/reference")
+    from util.conf import ModelConf
+    from data.loader import FileIO
+
+    conf = ModelConf(f"./conf/{name}.yaml")
+    train = FileIO.load_data_set("./dataset/amazon-beauty/train.txt",
+                                 "sequential")
+    test = FileIO.load_data_set("./dataset/amazon-beauty/test.txt",
+                                "sequential")
+    import importlib
+
+    cls = getattr(importlib.import_module(f"model.sequential.{name}"), name)
+    from util.sampler import next_batch_sequence
+
+    rec = cls(conf, train, test)
+    model = rec.model
+    opt = torch.optim.Adam(model.parameters(), lr=rec.lRate)
+    n_seq = len(rec.data.original_seq)
+    model.train()
+    t0 = None
+    for epoch in range(2):
+        for batch in next_batch_sequence(rec.data, rec.batch_size,
+                                         max_len=rec.max_len):
+            loss = step_fn(rec, model, batch)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        if epoch == 0:
+            t0 = time.time()  # epoch 0 = warmup
+    dt = time.time() - t0
+    print(f"{name}: {n_seq} sequences/epoch, {dt} s/epoch", flush=True)
+    return {"examples_per_sec": round(n_seq / dt, 1), "unit": "sequences/s",
+            "conditions": "reference's own torch code, host CPU, "
+                          f"amazon-beauty sequential, {name}.yaml defaults"}
+
+
+def bench_bert4rec():
+    """Reference BERT4Rec (model/sequential/BERT4Rec.py:25-45): per-batch
+    host item masking + bidirectional encoder + full-softmax CE over the
+    masked positions."""
+    from util.loss_torch import l2_reg_loss
+
+    def step(rec, model, batch):
+        seq, pos, y, neg_idx, seq_len = batch
+        aug_seq, masked, labels = rec.item_mask_for_bert(
+            seq, seq_len, rec.aug_rate, rec.data.item_num + 1)
+        seq_emb = model.forward(aug_seq, pos)
+        return rec.calculate_loss(seq_emb, masked, labels) + l2_reg_loss(
+            rec.reg, model.item_emb)
+
+    return _seq_epoch_bench("BERT4Rec", step)
+
+
+def bench_cl4srec():
+    """Reference CL4SRec (model/sequential/CL4SRec.py:28-66): main forward
+    + TWO augmented forwards (host crop augmentation) + InfoNCE per
+    batch."""
+    return _seq_epoch_bench("CL4SRec", _cl4srec_step)
+
+
+def _cl4srec_step(rec, model, batch):
+    # transliteration of the CL4SRec.train inner loop (aug_type=0 crop,
+    # CL4SRec.py:36-60)
+    from data.augmentor import SequenceAugmentor
+    from util.loss_torch import InfoNCE, l2_reg_loss
+
+    seq, pos, y, neg_idx, seq_len = batch
+    seq_emb = model.forward(seq, pos)
+    aug_seq1, aug_pos1, aug_len1 = SequenceAugmentor.item_crop(
+        seq, seq_len, rec.aug_rate)
+    aug_seq2, aug_pos2, aug_len2 = SequenceAugmentor.item_crop(
+        seq, seq_len, rec.aug_rate)
+    aug_emb1 = model.forward(aug_seq1, aug_pos1)
+    aug_emb2 = model.forward(aug_seq2, aug_pos2)
+    cl_emb1 = torch.cat([aug_emb1[i, last - 1, :].view(-1, rec.emb_size)
+                         for i, last in enumerate(aug_len1)], 0)
+    cl_emb2 = torch.cat([aug_emb2[i, last - 1, :].view(-1, rec.emb_size)
+                         for i, last in enumerate(aug_len2)], 0)
+    cl_loss = rec.cl_rate * InfoNCE(cl_emb1, cl_emb2, 1)
+    rec_loss = rec.calculate_loss(seq_emb, y, neg_idx, pos)
+    return rec_loss + l2_reg_loss(rec.reg, model.item_emb) + cl_loss
+
+
 WORKLOADS = {"simgcl": bench_simgcl, "sasrec": bench_sasrec,
              "sgl": bench_sgl, "ncl": bench_ncl, "mixgcf": bench_mixgcf,
              "mhcn": bench_mhcn, "sept": bench_sept, "buir": bench_buir,
-             "xsimgcl": bench_xsimgcl}
+             "xsimgcl": bench_xsimgcl, "bert4rec": bench_bert4rec,
+             "cl4srec": bench_cl4srec}
 
 
 def main():
