@@ -125,6 +125,42 @@ def main():
     if os.path.exists(out_path):
         with open(out_path) as f:
             data = json.load(f)
+    # --- social engine (ShardedDenseMat, round 3): MHCN full-douban scale.
+    # Per matmul: forward has ZERO collectives on the block (local rows),
+    # the row-sharded output is re-replicated by one ring all-gather of
+    # (M, D); backward is a ring all-reduce psum of the (N, D) partials
+    # (parallel/dense_shard._mat_bwd) ~= 2x the payload. Five matrices
+    # (3x UxU + R (UxI) + R^T (IxU)), n_layers matmuls each per step.
+    DU, DI, DD, DL = 13024, 22347, 64, 2  # douban-book marginals, emb 64
+    social_rows = []
+    for ndev in (1, 2, 4, 8, 16, 32):
+        ring = (ndev - 1) / max(ndev, 1)
+        mats = [(DU, DU)] * 3 + [(DU, DI), (DI, DU)]
+        fwd = sum(m * DD * 4 * ring for m, _ in mats) * DL
+        bwd = sum(2 * n * DD * 4 * ring for _, n in mats) * DL
+        step = int(fwd + bwd)
+        flops_dev = int(sum(2 * m * n * DD for m, n in mats) * DL * 3
+                        // max(ndev, 1))  # fwd + bwd ~ 3x
+        social_rows.append({
+            "devices": ndev,
+            "bytes_per_step_per_device": step,
+            "comm_ms_at_ici_peak": round(step / (V5E_ICI_GBS * 1e9) * 1e3, 3),
+            "matmul_ms_per_step_bf16": round(flops_dev / 197e12 * 1e3, 3),
+        })
+    data["social_comm_model"] = {
+        "workload": (f"MHCN full-douban (U={DU}, I={DI}, D={DD}, "
+                     f"layers={DL}), ShardedDenseMat row-sharded blocks"),
+        "note": ("Analytic: forward moves NO block bytes (local-rows "
+                 "matmul; one (M, D) output all-gather), backward one "
+                 "(N, D) psum — HLO-audited operand-sized "
+                 "(tests/test_parallel.py). The U^2-FLOPs matmul shrinks "
+                 "per device while comm stays ~constant, so the social "
+                 "dense path turns comm-bound beyond the point "
+                 "comm_ms > matmul_ms below — at which scale the "
+                 "ELL/halo layout (nnz-proportional) takes over via the "
+                 "budget gate."),
+        "per_mesh": social_rows,
+    }
     data["comm_model"] = {
         "workload": (f"SimGCL yelp2018-scale x{args.scale} "
                      f"(U={n_users}, I={n_items}, nnz={len(tu)}), "
