@@ -50,7 +50,16 @@ class MHCN(JAXGraphRecommender):
         # Under a mesh shard_adj row-shards each block over the device
         # grid; over budget / CPU-auto falls back to scipy + ELL/halo.
         nu = self.data.user_num
-        dg = dense_general_available(nu, nu)
+        ni = self.data.item_num
+        # budget the AGGREGATE resident set (3 UxU motif channels + R +
+        # R^T), not each block independently — five individually-passing
+        # checks could otherwise admit several times the configured
+        # SELFREC_TPU_DENSE_BUDGET_GB (advisor round-3 finding)
+        from selfrec_tpu.ops.spmm_dense import (
+            _generic_dtype as _gdt, fits_dense_elems)
+
+        dg = (dense_general_available(nu, nu)
+              and fits_dense_elems(3 * nu * nu + 2 * nu * ni, _gdt()))
         if dg:
             from selfrec_tpu.data.motifs import mhcn_hypergraphs_device
             from selfrec_tpu.ops.spmm_dense import DenseMat, _generic_dtype

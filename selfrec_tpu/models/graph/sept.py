@@ -77,9 +77,13 @@ class SEPT(JAXGraphRecommender):
         # while halving the gather-chain count — the TPU gather is
         # per-slot-bound, BASELINE.md round 2).
         nu = self.data.user_num
-        if dense_general_available(nu, nu):
+        from selfrec_tpu.ops.spmm_dense import _generic_dtype, fits_dense_elems
+        # aggregate budget over BOTH resident UxU views (advisor round-3:
+        # per-matrix checks can admit a multiple of the configured budget)
+        if (dense_general_available(nu, nu)
+                and fits_dense_elems(2 * nu * nu, _generic_dtype())):
             from selfrec_tpu.data.motifs import sept_views_device
-            from selfrec_tpu.ops.spmm_dense import DenseMat, _generic_dtype
+            from selfrec_tpu.ops.spmm_dense import DenseMat
 
             v1, v2 = sept_views_device(
                 self.social_data.get_birectional_social_mat(),

@@ -363,7 +363,9 @@ def dense_general_available(m: int, n: int) -> bool:
     mode = os.environ.get("SELFREC_TPU_DENSE", "auto")
     if mode == "0":
         return False
-    return spmm_dense.fits_dense(m, n) and (
+    # generic DenseMat blocks allocate in _generic_dtype() (bf16 even under
+    # the int8 opt-in), so budget with THAT itemsize, not _dense_dtype()
+    return spmm_dense.fits_dense(m, n, spmm_dense._generic_dtype()) and (
         mode == "1" or jax.default_backend() != "cpu")
 
 
@@ -396,7 +398,7 @@ def norm_adj_from_scipy(norm_adj, ell: Optional[bool] = None, k: int = 16,
         from selfrec_tpu.ops import spmm_dense
 
         m, n = norm_adj.shape
-        if (spmm_dense.fits_dense(m, n)
+        if (spmm_dense.fits_dense(m, n, spmm_dense._generic_dtype())
                 and (dense_mode == "1" or jax.default_backend() != "cpu")):
             return spmm_dense.dense_mat_from_scipy(norm_adj)
     if n_users is not None and dense_mode != "0":

@@ -248,10 +248,21 @@ def dense_adj_from_edges(edge_users, edge_items, w, n_users: int,
     return DenseAdj(a, eu, ei, w32, n_users, n_items)
 
 
-def fits_dense(n_users: int, n_items: int) -> bool:
-    """Whether the dense block fits the configured budget (default 5 GB)."""
+def fits_dense_elems(n_elems: int, dtype=None) -> bool:
+    """Whether ``n_elems`` dense values of ``dtype`` fit the configured HBM
+    budget (default 5 GB). ``dtype=None`` uses ``_dense_dtype()`` — correct
+    for factored int8 incidence blocks; callers gating GENERIC value blocks
+    (DenseMat, reweighted views) must pass ``_generic_dtype()``, which stays
+    bf16 (2 bytes) even under SELFREC_TPU_DENSE_DTYPE=int8."""
     budget_gb = float(os.environ.get("SELFREC_TPU_DENSE_BUDGET_GB", "5"))
-    return n_users * n_items * _dense_dtype().itemsize <= budget_gb * 1e9
+    itemsize = (jnp.dtype(dtype) if dtype is not None
+                else _dense_dtype()).itemsize
+    return n_elems * itemsize <= budget_gb * 1e9
+
+
+def fits_dense(n_users: int, n_items: int, dtype=None) -> bool:
+    """Whether one dense (n_users, n_items) block fits the budget."""
+    return fits_dense_elems(n_users * n_items, dtype)
 
 
 @jax.tree_util.register_pytree_node_class

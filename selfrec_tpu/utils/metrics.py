@@ -144,9 +144,15 @@ def ranking_evaluation_ids(
         row_of_test = np.repeat(np.arange(n_users, dtype=np.int64), len_u)
         sorted_test_keys = np.sort(row_of_test * n_items + test_items)
     top_keys = np.arange(n_users, dtype=np.int64)[:, None] * n_items + top_ids
-    pos = np.searchsorted(sorted_test_keys, top_keys.ravel())
-    pos = np.minimum(pos, len(sorted_test_keys) - 1)
-    hit_mask = (sorted_test_keys[pos] == top_keys.ravel()).reshape(n_users, K)
+    if len(sorted_test_keys) == 0:
+        # empty ground truth: all misses (the -1 clamp below would
+        # otherwise index an empty array — advisor round-3 finding)
+        hit_mask = np.zeros((n_users, K), dtype=bool)
+    else:
+        pos = np.searchsorted(sorted_test_keys, top_keys.ravel())
+        pos = np.minimum(pos, len(sorted_test_keys) - 1)
+        hit_mask = (sorted_test_keys[pos] == top_keys.ravel()
+                    ).reshape(n_users, K)
 
     w = 1.0 / np.log2(np.arange(K, dtype=np.float64) + 2.0)
     cum_w = np.concatenate([[0.0], np.cumsum(w)])
