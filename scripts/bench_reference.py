@@ -829,11 +829,249 @@ def _cl4srec_step(rec, model, batch):
     return rec_loss + l2_reg_loss(rec.reg, model.item_emb) + cl_loss
 
 
+def _pairwise_loop_bench(name, rec, step_fn, conditions):
+    """N_WARM warm + N_BENCH timed batches of a reference pairwise train
+    loop (the shared shape of MF.py:17-31, LightGCN.py:20-35, etc.):
+    step_fn(batch) runs one full train step (forward + loss + zero_grad +
+    backward + opt.step)."""
+    from util.sampler import next_batch_pairwise
+
+    n_ex, t0 = 0, None
+    for n, batch in enumerate(next_batch_pairwise(rec.data, rec.batch_size)):
+        if n == N_WARM:
+            t0 = time.time()
+            n_ex = 0
+        if n == N_WARM + N_BENCH:
+            break
+        step_fn(batch)
+        if t0 is not None:
+            n_ex += len(batch[0])
+    dt = time.time() - t0
+    print(f"{name}:", N_BENCH, "batches,", n_ex, "ex,", dt, "s", flush=True)
+    return {"examples_per_sec": round(n_ex / dt, 1), "unit": "examples/s",
+            "conditions": conditions}
+
+
+def bench_mf():
+    """Reference MF (model/graph/MF.py:13-31): lookup + BPR + L2 per batch."""
+    conf, train, test = _graph_workload("MF")
+    from model.graph.MF import MF
+    from util.loss_torch import bpr_loss, l2_reg_loss
+
+    rec = MF(conf, train, test)
+    model = rec.model
+    opt = torch.optim.Adam(model.parameters(), lr=rec.lRate)
+
+    def step(batch):
+        user_idx, pos_idx, neg_idx = batch
+        rec_u, rec_i = model()
+        u, p, ng = rec_u[user_idx], rec_i[pos_idx], rec_i[neg_idx]
+        loss = bpr_loss(u, p, ng) + l2_reg_loss(rec.reg, u, p, ng) / rec.batch_size
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    return _pairwise_loop_bench(
+        "mf", rec, step,
+        "reference's own torch code, host CPU, "
+        "yelp2018-scale synthetic, MF.yaml defaults")
+
+
+def bench_lightgcn():
+    """Reference LightGCN (model/graph/LightGCN.py:20-35): full sparse
+    propagation per batch + BPR, conf defaults n_layer=2."""
+    conf, train, test = _graph_workload("LightGCN")
+    from model.graph.LightGCN import LightGCN
+    from util.loss_torch import bpr_loss, l2_reg_loss
+
+    rec = LightGCN(conf, train, test)
+    model = rec.model
+    opt = torch.optim.Adam(model.parameters(), lr=rec.lRate)
+
+    def step(batch):
+        user_idx, pos_idx, neg_idx = batch
+        rec_u, rec_i = model()
+        u, p, ng = rec_u[user_idx], rec_i[pos_idx], rec_i[neg_idx]
+        loss = bpr_loss(u, p, ng) + l2_reg_loss(
+            rec.reg, model.embedding_dict["user_emb"][user_idx],
+            model.embedding_dict["item_emb"][pos_idx],
+            model.embedding_dict["item_emb"][neg_idx]) / rec.batch_size
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    return _pairwise_loop_bench(
+        "lightgcn", rec, step,
+        "reference's own torch code, host CPU, yelp2018-scale synthetic, "
+        "LightGCN.yaml defaults (n_layer=2)")
+
+
+def bench_directau():
+    """Reference DirectAU (model/graph/DirectAU.py:17-47): LGCN forward +
+    alignment/uniformity (pdist) losses, gamma=2 n_layers=3."""
+    conf, train, test = _graph_workload("DirectAU")
+    from model.graph.DirectAU import DirectAU
+    from util.loss_torch import l2_reg_loss
+
+    rec = DirectAU(conf, train, test)
+    model = rec.model
+    opt = torch.optim.Adam(model.parameters(), lr=rec.lRate)
+
+    def step(batch):
+        user_idx, pos_idx, _ = batch
+        rec_u, rec_i = model()
+        u, p = rec_u[user_idx], rec_i[pos_idx]
+        loss = rec.calculate_loss(u, p) + l2_reg_loss(rec.reg, u, p) / rec.batch_size
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    return _pairwise_loop_bench(
+        "directau", rec, step,
+        "reference's own torch code, host CPU, yelp2018-scale synthetic, "
+        "DirectAU.yaml defaults (gamma=2 n_layers=3)")
+
+
+def bench_ssl4rec():
+    """Reference SSL4Rec (model/graph/SSL4Rec.py:25-46): two-tower DNN +
+    batch-softmax + feature-dropout CL."""
+    conf, train, test = _graph_workload("SSL4Rec")
+    from model.graph.SSL4Rec import SSL4Rec
+    from util.loss_torch import l2_reg_loss, batch_softmax_loss
+
+    rec = SSL4Rec(conf, train, test)
+    model = rec.model
+    opt = torch.optim.Adam(model.parameters(), lr=rec.lRate)
+
+    def step(batch):
+        query_idx, item_idx, _ = batch
+        model.train()
+        q, i = model(query_idx, item_idx)
+        loss = (batch_softmax_loss(q, i, rec.tau)
+                + l2_reg_loss(rec.reg, q, i)
+                + rec.cl_rate * model.cal_cl_loss(item_idx))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    return _pairwise_loop_bench(
+        "ssl4rec", rec, step,
+        "reference's own torch code, host CPU, yelp2018-scale synthetic, "
+        "SSL4Rec.yaml defaults (tau=.07 alpha=.1 drop=.1)")
+
+
+def bench_selfcf():
+    """Reference SelfCF-HE (model/graph/SelfCF.py:21-47): LGCN forward +
+    history-buffer targets + predictor cosine losses."""
+    conf, train, test = _graph_workload("SelfCF")
+    from model.graph.SelfCF import SelfCF
+
+    rec = SelfCF(conf, train, test)
+    model = rec.model
+    opt = torch.optim.Adam(model.parameters(), lr=rec.lRate)
+
+    def step(batch):
+        user_idx, i_idx, _ = batch
+        model.train()
+        out = model({"user": user_idx, "item": i_idx})
+        loss = model.get_loss(out)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    return _pairwise_loop_bench(
+        "selfcf", rec, step,
+        "reference's own torch code, host CPU, yelp2018-scale synthetic, "
+        "SelfCF.yaml defaults (n_layer=2 tau=.05)")
+
+
+def bench_userknn():
+    """Reference UserKNN similarity build (model/graph/UserKNN.py:32-57):
+    O(U^2) per-pair Python set-intersection cosine. At yelp2018 scale
+    (31.7k users) the full build is infeasible to run outright, so the
+    per-user rate is measured over the first N_USERS_TIMED users of the
+    reference's own loop and extrapolated linearly — each user's inner
+    loop visits ALL users, so per-user cost is scale-representative.
+    Returns seconds (extrapolated full build)."""
+    N_USERS_TIMED = 12
+    conf, train, test = _graph_workload("UserKNN")
+    import heapq
+
+    from model.graph.UserKNN import UserKNN
+
+    rec = UserKNN(conf, train, test)
+    all_usernames = list(rec.data.training_set_u.keys())
+    t0 = time.time()
+    for u_name in all_usernames[:N_USERS_TIMED]:
+        u_items = rec.data.training_set_u[u_name]
+        sims = []
+        for v_name in all_usernames:
+            if u_name == v_name:
+                continue
+            sim = rec._cosine_similarity(u_items, rec.data.training_set_u[v_name])
+            if sim > 0:
+                sims.append((sim, v_name))
+        rec.user_sim[u_name] = heapq.nlargest(rec.topk, sims)
+    per_user = (time.time() - t0) / N_USERS_TIMED
+    full_s = per_user * len(all_usernames)
+    print(f"userknn: {per_user:.2f}s/user x {len(all_usernames)} users"
+          f" -> {full_s:.0f}s extrapolated", flush=True)
+    return {"seconds": round(full_s, 1), "unit": "s",
+            "extrapolated": True,
+            "per_user_s": round(per_user, 3),
+            "users": len(all_usernames),
+            "conditions": "reference's own Python loop (UserKNN.py:41-57), "
+                          "host CPU, yelp2018-scale synthetic; timed over "
+                          f"first {N_USERS_TIMED} users, linear extrapolation "
+                          "(inner loop visits all users per user)"}
+
+
+def bench_seq_eval():
+    """Reference sequential eval (base/seq_recommender.py:34-55): per-user
+    SASRec predict + find_k_largest heap loop over every training
+    sequence. Timed outright (one full pass) with an untrained model —
+    eval cost is weight-independent. Returns seconds."""
+    os.chdir("/root/reference")
+    from util.conf import ModelConf
+    from data.loader import FileIO
+    from model.sequential.SASRec import SASRec
+
+    conf = ModelConf("./conf/SASRec.yaml")
+    train = FileIO.load_data_set("./dataset/amazon-beauty/train.txt",
+                                 "sequential")
+    test = FileIO.load_data_set("./dataset/amazon-beauty/test.txt",
+                                "sequential")
+    rec = SASRec(conf, train, test)
+    rec.model.eval()
+    t0 = time.time()
+    rec_list = rec.test()
+    dt = time.time() - t0
+    from util.evaluation import ranking_evaluation
+
+    t0 = time.time()
+    ranking_evaluation(rec.data.test_set, rec_list, [rec.max_N])
+    dt_m = time.time() - t0
+    n = len(rec.data.original_seq)
+    print(f"seq_eval: {n} sequences in {dt:.1f}s (+{dt_m:.1f}s metrics)",
+          flush=True)
+    return {"seconds": round(dt, 2), "unit": "s",
+            "metrics_s": round(dt_m, 2), "sequences": n,
+            "conditions": "reference's own per-user predict + "
+                          "find_k_largest loop (seq_recommender.py:34-55), "
+                          "host CPU, amazon-beauty, SASRec conf, top-20"}
+
+
 WORKLOADS = {"simgcl": bench_simgcl, "sasrec": bench_sasrec,
              "sgl": bench_sgl, "ncl": bench_ncl, "mixgcf": bench_mixgcf,
              "mhcn": bench_mhcn, "sept": bench_sept, "buir": bench_buir,
              "xsimgcl": bench_xsimgcl, "bert4rec": bench_bert4rec,
-             "cl4srec": bench_cl4srec}
+             "cl4srec": bench_cl4srec,
+             # round-4 additions (VERDICT r3 item 1): comparators for the
+             # rest of the model zoo + the sequential eval path (item 6)
+             "mf": bench_mf, "lightgcn": bench_lightgcn,
+             "directau": bench_directau, "ssl4rec": bench_ssl4rec,
+             "selfcf": bench_selfcf, "userknn": bench_userknn,
+             "seq_eval": bench_seq_eval}
 
 
 def main():

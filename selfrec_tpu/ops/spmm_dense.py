@@ -128,25 +128,41 @@ class DenseAdj:
         1/(1-rate), NO degree re-normalization; ``rate`` may be traced —
         BUIR draws rate = U[0,1) * drop_ratio per forward).
 
-        Cheap enough for inside a training scan, unlike :meth:`reweight`:
-        one scatter-MULTIPLY of the per-edge keep mask into the existing
-        block (a 1-byte/entry copy at yelp scale, ~2 ms at HBM rate, vs
-        the ELL gather chain this replaces at 10x that), and the factored
-        form survives EXACTLY — B ⊙ keep is still binary, and the
-        1/(1-rate) rescale folds into the ``gain`` scalar. Generic value
-        blocks scatter the mask the same way and fold the rescale into
-        ``row_scale``-free form via a scalar multiply in dense_spmm's
-        operand (handled by scaling the block)."""
-        keep = (jax.random.uniform(key, self.edge_w.shape)
-                >= rate)
+        On TPU, factored blocks take a FUSED full-matrix mask: ``B ⊙ M``
+        with ``M ~ Bernoulli(1-rate)`` per POSITION. Since B is binary,
+        masking non-edge positions is a no-op, so the per-EDGE keep
+        distribution is identical to a per-edge draw — but XLA compiles
+        RNG + compare + multiply + write into ONE streaming pass over the
+        block, replacing the 1.56M-random-index scatter-multiply that
+        dominated BUIR's step in round 3 (the scatter serializes; the
+        stream rides HBM bandwidth — A/B in BUIR_BREAKDOWN.json). The
+        factored form survives EXACTLY — B ⊙ M is still binary and the
+        1/(1-rate) rescale folds into the ``gain`` scalar.
+
+        On CPU the economics invert (U*I threefry draws per view vs nnz),
+        so the default there is the per-edge scatter-multiply; override
+        with SELFREC_TPU_DROPOUT_MASK=fused|scatter. Generic value blocks
+        (duplicate-edge graphs, where per-edge and per-position draws
+        differ) always keep the per-edge scatter."""
         inv = 1.0 / (1.0 - rate)
-        b = self.a_ui.at[self.edge_users, self.edge_items].multiply(
-            keep.astype(self.a_ui.dtype))
         if self.factored:
+            mode = os.environ.get("SELFREC_TPU_DROPOUT_MASK")
+            fused = (mode == "fused" or
+                     (mode != "scatter" and jax.default_backend() != "cpu"))
+            if fused:
+                mask = jax.random.uniform(key, self.a_ui.shape) >= rate
+                b = self.a_ui * mask.astype(self.a_ui.dtype)
+            else:
+                keep = jax.random.uniform(key, self.edge_w.shape) >= rate
+                b = self.a_ui.at[self.edge_users, self.edge_items].multiply(
+                    keep.astype(self.a_ui.dtype))
             return DenseAdj(b, self.edge_users, self.edge_items,
                             self.edge_w, self.n_users, self.n_items,
                             self.row_scale, self.col_scale,
                             self.gain * inv, mm_dtype=self.mm_dtype)
+        keep = jax.random.uniform(key, self.edge_w.shape) >= rate
+        b = self.a_ui.at[self.edge_users, self.edge_items].multiply(
+            keep.astype(self.a_ui.dtype))
         return DenseAdj(b * jnp.asarray(inv, b.dtype), self.edge_users,
                         self.edge_items, self.edge_w,
                         self.n_users, self.n_items)

@@ -433,12 +433,17 @@ def test_dense_mat_forward_and_grad_match_edge_list(monkeypatch):
                                    rtol=1e-5, atol=1e-6)
 
 
-def test_dense_dropout_view_matches_edge_oracle(monkeypatch):
+@pytest.mark.parametrize("mask_mode", ["scatter", "fused"])
+def test_dense_dropout_view_matches_edge_oracle(monkeypatch, mask_mode):
     """DenseAdj.dropout_view == edge-list dropout with the SAME keep mask
-    (reference sparse_dropout semantics: 1/(1-rate) rescale, no renorm).
+    (reference sparse_dropout semantics: 1/(1-rate) rescale, no renorm),
+    for BOTH mask strategies: per-edge scatter (CPU default) and the fused
+    per-position stream (TPU default; per-edge restriction of a full
+    Bernoulli matrix is distribution-identical since the block is binary).
     The factored form must survive (B x keep stays binary, rescale folds
     into gain). f32-forced for exactness."""
     monkeypatch.setenv("SELFREC_TPU_DENSE_DTYPE", "float32")
+    monkeypatch.setenv("SELFREC_TPU_DROPOUT_MASK", mask_mode)
     U, I, D = 45, 60, 8
     eu, ei, _ = bipartite_edges(U, I, 600, seed=20)
     w = laplacian_weights(eu, ei, U, I)
@@ -451,7 +456,11 @@ def test_dense_dropout_view_matches_edge_oracle(monkeypatch):
     assert view.factored  # still factored: binary block + scaled gain
 
     # reproduce the mask the op drew (same key, same shape => identical)
-    keep = np.asarray(jax.random.uniform(key, adj.edge_w.shape) >= rate)
+    if mask_mode == "fused":
+        mask = np.asarray(jax.random.uniform(key, (U, I)) >= rate)
+        keep = mask[np.asarray(eu), np.asarray(ei)]
+    else:
+        keep = np.asarray(jax.random.uniform(key, adj.edge_w.shape) >= rate)
     w2 = np.where(keep, w / (1.0 - rate), 0.0).astype(np.float32)
     lap = unified_laplacian(eu, ei, w2, U, I)
     x = np.random.default_rng(21).standard_normal((U + I, D)).astype(np.float32)
@@ -486,8 +495,13 @@ def test_buir_e2e_dense_dropout_matches_ell_band(monkeypatch,
         "BUIR", tiny_graph_dataset,
         extra={"n_layer": 2, "drop_rate": 0.2, "tau": 0.995})
     assert isinstance(model.adj, DenseAdj)
+    # the tiny dataset quantizes Hit Ratio in 0.025 steps and the two
+    # dropout formulations draw DIFFERENT masks (per-position fused stream
+    # vs per-edge), so the cross-path band is loose; the convergence-grade
+    # gate is the 30-epoch h2h (results/h2h/our_BUIR_30.log, PARITY.md)
+    assert perf_dense["Recall"] > 0.3 and perf_ell["Recall"] > 0.3
     for k in perf_ell:
-        assert abs(perf_ell[k] - perf_dense[k]) < 0.05, (
+        assert abs(perf_ell[k] - perf_dense[k]) < 0.15, (
             k, perf_ell[k], perf_dense[k])
 
 
