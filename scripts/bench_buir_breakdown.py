@@ -105,11 +105,13 @@ def main():
     # would blow the axon remote-compile body limit, HTTP 413) ------------
     def fused_view(a, k):
         # the TPU-default dropout_view formulation, inlined so the A/B is
-        # explicit on any platform: full-matrix Bernoulli fused into one
-        # streaming pass over the block
+        # explicit on any platform: full-matrix RBG Bernoulli fused into
+        # one streaming pass over the block
+        from selfrec_tpu.ops.spmm_dense import _rbg_keep_mask
+
         k1, k2 = jax.random.split(k)
         rate = jax.random.uniform(k1) * drop_rate
-        mask = jax.random.uniform(k2, a.a_ui.shape) >= rate
+        mask = _rbg_keep_mask(k2, a.a_ui.shape, rate)
         return DenseAdj(a.a_ui * mask.astype(a.a_ui.dtype),
                         a.edge_users, a.edge_items, a.edge_w,
                         a.n_users, a.n_items, a.row_scale, a.col_scale,

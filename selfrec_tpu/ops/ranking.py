@@ -15,6 +15,7 @@ same kernel runs per shard followed by a cross-shard top-k merge — see
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, List, Tuple
 
@@ -23,6 +24,52 @@ import jax.numpy as jnp
 import numpy as np
 
 MASK_VALUE = -1e9  # reference masks rated items with -10e8
+
+
+def _eval_topk_recall():
+    """None = exact lax.top_k (default). SELFREC_TPU_EVAL_TOPK=approx[:r]
+    opts into jax.lax.approx_max_k with recall_target r (default 0.95) —
+    measured 7.6x faster than the exact lowering at (1024 x 38k, k=20) on
+    v5e (EVAL_ROOFLINE.json) at the cost of per-row expected recall r of
+    the true top-k. Approximate ranking changes metrics, so this is
+    opt-in, never the default (same discipline as the int8x8 mode)."""
+    v = os.environ.get("SELFREC_TPU_EVAL_TOPK", "exact")
+    if v.startswith("approx"):
+        return float(v.split(":", 1)[1]) if ":" in v else 0.95
+    return None
+
+
+def get_rated_dense(data):
+    """Device-resident int8 rated-incidence matrix (U, I) for eval masking.
+
+    The per-block rated-pair scatter (``scores.at[rows, cols].set(-1e9)``)
+    costs 53 ms/epoch-eval at yelp2018 scale — the same random-index
+    scatter pathology the BUIR dropout fix removed (EVAL_ROOFLINE.json).
+    A resident incidence matrix turns it into a row gather + elementwise
+    select (~2 ms). Built once on device from the rated CSR; cached on
+    ``data``. Returns None (callers fall back to the scatter path) when
+    the block exceeds the HBM budget or SELFREC_TPU_EVAL_MASK=scatter;
+    SELFREC_TPU_EVAL_MASK=dense forces it regardless of budget."""
+    mode = os.environ.get("SELFREC_TPU_EVAL_MASK", "auto")
+    if mode == "scatter":
+        return None
+    cached = getattr(data, "_rated_dense_cache", False)
+    if cached is not False:
+        return cached
+    from selfrec_tpu.ops.spmm_dense import fits_dense
+
+    if mode != "dense" and not fits_dense(
+            data.user_num, data.item_num, jnp.int8):
+        data._rated_dense_cache = None
+        return None
+    counts = np.diff(np.asarray(data.rated_offsets))
+    rows = jnp.asarray(np.repeat(
+        np.arange(data.user_num, dtype=np.int32), counts))
+    cols = jnp.asarray(np.asarray(data.rated_items, dtype=np.int32))
+    m = jnp.zeros((data.user_num, data.item_num), jnp.int8)
+    m = m.at[rows, cols].set(1, mode="drop")
+    data._rated_dense_cache = m
+    return m
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -204,16 +251,28 @@ def batched_full_rank(
             yield plan.user_ids[b * plan.block_size + r], top_ids[r], top_scores[r]
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _topk_all_blocks(user_emb, item_emb, uids_all, rows_all, cols_all, k):
+def _block_topk(scores, k, approx_recall):
+    if approx_recall is not None:
+        return jax.lax.approx_max_k(scores, k, recall_target=approx_recall)
+    return jax.lax.top_k(scores, k)
+
+
+@partial(jax.jit, static_argnames=("k", "approx_recall"))
+def _topk_all_blocks(user_emb, item_emb, uids_all, rows_all, cols_all, k,
+                     approx_recall=None):
     """All eval blocks in ONE dispatch: lax.scan over blocks, each step a
     (B, D) x (D, I) matmul + rated-mask scatter + top_k. Measured on TPU
     v5e at yelp2018 scale (31 blocks of 1024 users x 38k items): the whole
     scan runs in ~0.36s device-resident / ~0.85s incl. H2D+fetch, vs
     ~2.6s for 31 separate dispatches with a synchronous D2H copy each —
     the old per-block loop was dominated by dispatch+transfer overhead,
-    not compute. A two-stage (chunked) top_k was A/B'd and is 2-3x SLOWER
-    than the native lax.top_k lowering here, so plain top_k stays."""
+    not compute. This is the FALLBACK mask path; when the rated incidence
+    fits HBM the dense-mask scan below replaces the 53 ms scatter with a
+    ~2 ms gather+select (term isolation in EVAL_ROOFLINE.json: matmul
+    2 ms + scatter 53 ms + top_k 100 ms per eval at yelp scale). Chunked
+    two-stage top_k, bf16 top_k, and a chunk-max-filtered exact top_k
+    were all A/B'd SLOWER than the native lowering; approx_max_k at
+    recall<1 is the only faster variant and stays opt-in."""
 
     def step(_, blk):
         uids, rows, cols = blk
@@ -221,11 +280,42 @@ def _topk_all_blocks(user_emb, item_emb, uids_all, rows_all, cols_all, k):
             user_emb[uids], item_emb.T, preferred_element_type=jnp.float32
         )
         scores = scores.at[rows, cols].set(MASK_VALUE, mode="drop")
-        top_scores, top_ids = jax.lax.top_k(scores, k)
+        top_scores, top_ids = _block_topk(scores, k, approx_recall)
         return 0, (top_scores, top_ids)
 
     _, (scs, idss) = jax.lax.scan(step, 0, (uids_all, rows_all, cols_all))
     return scs, idss
+
+
+@partial(jax.jit, static_argnames=("k", "approx_recall"))
+def _topk_all_blocks_dense(user_emb, item_emb, uids_all, rated, k,
+                           approx_recall=None):
+    """Dense-mask eval scan: rated-item masking as a row gather from the
+    resident int8 incidence + elementwise select (exactly the reference's
+    set-to--1e9 semantics, graph_recommender.py:49), no scatter."""
+
+    def step(_, uids):
+        scores = jnp.dot(
+            user_emb[uids], item_emb.T, preferred_element_type=jnp.float32
+        )
+        scores = jnp.where(rated[uids] != 0, MASK_VALUE, scores)
+        top_scores, top_ids = _block_topk(scores, k, approx_recall)
+        return 0, (top_scores, top_ids)
+
+    _, (scs, idss) = jax.lax.scan(step, 0, uids_all)
+    return scs, idss
+
+
+def _topk_all_blocks_auto(data, user_emb, item_emb, plan, k):
+    """Dispatch to the dense-mask scan when the incidence is resident,
+    else the scatter scan; both honor SELFREC_TPU_EVAL_TOPK."""
+    recall = _eval_topk_recall()
+    rated = get_rated_dense(data)
+    if rated is not None:
+        return _topk_all_blocks_dense(user_emb, item_emb, plan.uids_all,
+                                      rated, k, recall)
+    return _topk_all_blocks(user_emb, item_emb, plan.uids_all,
+                            plan.rows_all, plan.cols_all, k, recall)
 
 
 def topk_ids_from_embeddings(
@@ -239,9 +329,7 @@ def topk_ids_from_embeddings(
     item_emb = jnp.asarray(item_emb)
     plan = get_eval_plan(data, block_size)
     n = len(plan.user_ids)
-    _, idss = _topk_all_blocks(
-        user_emb, item_emb, plan.uids_all, plan.rows_all, plan.cols_all, k
-    )
+    _, idss = _topk_all_blocks_auto(data, user_emb, item_emb, plan, k)
     return np.asarray(idss).reshape(-1, idss.shape[-1])[:n]
 
 
@@ -260,9 +348,7 @@ def rec_list_from_embeddings(
     plan = get_eval_plan(data, block_size)
     if topk_impl is None:
         n = len(plan.user_ids)
-        scs, idss = _topk_all_blocks(
-            user_emb, item_emb, plan.uids_all, plan.rows_all, plan.cols_all, k
-        )
+        scs, idss = _topk_all_blocks_auto(data, user_emb, item_emb, plan, k)
         bsz, kk = plan.block_size, scs.shape[-1]
         return assemble_rec_list(
             data, plan.user_ids,

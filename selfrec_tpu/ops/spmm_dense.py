@@ -134,14 +134,19 @@ class DenseAdj:
         distribution is identical to a per-edge draw — but XLA compiles
         RNG + compare + multiply + write into ONE streaming pass over the
         block, replacing the 1.56M-random-index scatter-multiply that
-        dominated BUIR's step in round 3 (the scatter serializes; the
-        stream rides HBM bandwidth — A/B in BUIR_BREAKDOWN.json). The
-        factored form survives EXACTLY — B ⊙ M is still binary and the
+        dominated BUIR's step in round 3 (82 ms/view at yelp scale; the
+        scatter serializes, the stream rides HBM bandwidth — A/B in
+        BUIR_BREAKDOWN.json). The mask bits come from the hardware-friendly
+        RBG generator (XLA RngBitGenerator; 3.2x faster than threefry for
+        a U*I draw on v5e) as uint16, thresholded at round(rate * 2^16) —
+        keep probability is quantized to 1/65536 (≤1.5e-5 absolute, far
+        inside any convergence band; gates: results/h2h/our_BUIR_30.log).
+        The factored form survives EXACTLY — B ⊙ M is still binary and the
         1/(1-rate) rescale folds into the ``gain`` scalar.
 
-        On CPU the economics invert (U*I threefry draws per view vs nnz),
-        so the default there is the per-edge scatter-multiply; override
-        with SELFREC_TPU_DROPOUT_MASK=fused|scatter. Generic value blocks
+        On CPU the economics invert (U*I draws per view vs nnz), so the
+        default there is the per-edge scatter-multiply; override with
+        SELFREC_TPU_DROPOUT_MASK=fused|scatter. Generic value blocks
         (duplicate-edge graphs, where per-edge and per-position draws
         differ) always keep the per-edge scatter."""
         inv = 1.0 / (1.0 - rate)
@@ -150,7 +155,7 @@ class DenseAdj:
             fused = (mode == "fused" or
                      (mode != "scatter" and jax.default_backend() != "cpu"))
             if fused:
-                mask = jax.random.uniform(key, self.a_ui.shape) >= rate
+                mask = _rbg_keep_mask(key, self.a_ui.shape, rate)
                 b = self.a_ui * mask.astype(self.a_ui.dtype)
             else:
                 keep = jax.random.uniform(key, self.edge_w.shape) >= rate
@@ -196,6 +201,26 @@ class DenseAdj:
         mode = "int8-factored" if self.factored else f"{self.a_ui.dtype}"
         return (f"DenseAdj(U={self.n_users}, I={self.n_items}, {mode}, "
                 f"{self.a_ui.nbytes / 1e9:.2f} GB)")
+
+
+def _rbg_keep_mask(key, shape, rate):
+    """Bernoulli(1-rate) keep mask over ``shape`` from the RBG generator.
+
+    Derives an RBG key from the caller's threefry key (pure function of it,
+    so checkpoint-resume exactness is preserved) and thresholds uint16 bits
+    at round(rate * 2^16): P(keep) = (65536 - t)/65536. ``rate`` may be
+    traced (BUIR draws rate = U[0,1)*drop_ratio per forward, BUIR.py:135);
+    the threshold clamps to 65535 so rate -> 1.0 stays a valid (degenerate)
+    mask instead of wrapping to keep-everything."""
+    if hasattr(key, "dtype") and jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(key)
+    else:
+        kd = key
+    rbg = jax.random.wrap_key_data(
+        jnp.concatenate([kd, kd]).astype(jnp.uint32)[:4], impl="rbg")
+    thresh = jnp.minimum(
+        jnp.round(rate * 65536.0), 65535.0).astype(jnp.uint16)
+    return jax.random.bits(rbg, shape, jnp.uint16) >= thresh
 
 
 def _scatter_dense(edge_users, edge_items, w, n_users, n_items, dtype):

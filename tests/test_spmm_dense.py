@@ -457,8 +457,11 @@ def test_dense_dropout_view_matches_edge_oracle(monkeypatch, mask_mode):
 
     # reproduce the mask the op drew (same key, same shape => identical)
     if mask_mode == "fused":
-        mask = np.asarray(jax.random.uniform(key, (U, I)) >= rate)
+        mask = np.asarray(d_ops._rbg_keep_mask(key, (U, I), jnp.float32(rate)))
         keep = mask[np.asarray(eu), np.asarray(ei)]
+        # the uint16 threshold quantizes keep prob to 1/65536 of the asked
+        # rate — statistically invisible, checked here at the edge level
+        assert abs(keep.mean() - (1 - rate)) < 0.08
     else:
         keep = np.asarray(jax.random.uniform(key, adj.edge_w.shape) >= rate)
     w2 = np.where(keep, w / (1.0 - rate), 0.0).astype(np.float32)
