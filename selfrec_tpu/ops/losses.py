@@ -24,9 +24,15 @@ def _masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """Row L2 normalisation matching torch.nn.functional.normalize."""
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    """Row L2 normalisation matching torch.nn.functional.normalize:
+    x / max(||x||, eps) — written as x * rsqrt(max(sum(x^2), eps^2)) so the
+    VJP is finite at exactly-zero rows. The naive norm form differentiates
+    sqrt at 0 (0 * inf = NaN); zero rows are ROUTINE here — motif channels
+    with empty rows (MHCN H_p) and cold items propagate to exact zeros,
+    and whether XLA's fusion surfaced the NaN depended on the spmm backend
+    (dense MXU blocks hit it, the ELL gather chain happened not to)."""
+    s = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(s, eps * eps))
 
 
 def bpr_loss(user_emb, pos_item_emb, neg_item_emb, mask=None):

@@ -160,6 +160,41 @@ def test_bpr_loss_mask_matches_subset():
     np.testing.assert_allclose(masked, subset, rtol=1e-6)
 
 
+def test_l2_normalize_zero_row_grad_finite():
+    """Regression: l2_normalize's VJP must be finite at exactly-zero rows.
+
+    Zero rows are routine (MHCN H_p motif channels with empty rows, cold
+    items after propagation). The naive ``x / max(||x||, eps)`` form
+    differentiates sqrt at 0 and yields 0*inf = NaN in the backward pass —
+    whether XLA's fusion surfaced it depended on the surrounding graph
+    (the dense-MXU spmm path hit it; the ELL gather chain happened not
+    to), which NaN-froze MHCN training on the dense backend (round 4).
+    The rsqrt-of-clamped-sum-of-squares form is forward-identical to
+    torch.nn.functional.normalize and has a finite VJP at 0."""
+    import torch
+    import torch.nn.functional as F
+
+    x_np = np.random.default_rng(3).standard_normal((6, 4)).astype(np.float32)
+    x_np[2] = 0.0  # exact zero row
+    x_np[5] = 0.0
+
+    # forward parity with torch.F.normalize, incl. the zero rows
+    ours = np.asarray(losses.l2_normalize(jnp.asarray(x_np)))
+    theirs = F.normalize(torch.from_numpy(x_np), dim=1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-7)
+
+    # grad finite through a composition that produces the zero rows
+    # *inside* the differentiated function (matmul -> normalize -> sum),
+    # mirroring the propagate->normalize chain that NaN'd
+    sel = jnp.asarray(np.diag([1, 1, 0, 1, 1, 0]).astype(np.float32))
+
+    def f(x):
+        return jnp.sum(losses.l2_normalize(sel @ x) * jnp.arange(4.0))
+
+    g = jax.grad(f)(jnp.asarray(x_np))
+    assert np.all(np.isfinite(np.asarray(g))), g
+
+
 def test_l2_reg_loss_frobenius_over_rows():
     e = jnp.asarray(np.ones((4, 3), np.float32))
     val = float(losses.l2_reg_loss(0.5, e))
