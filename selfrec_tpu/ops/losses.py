@@ -137,16 +137,32 @@ def alignment_loss_masked(x, y, mask=None):
     return _masked_mean(jnp.sum((x - y) ** 2, axis=-1), mask)
 
 
+def _strict_upper(n: int) -> jnp.ndarray:
+    """(n, n) boolean i<j mask from iota — no materialized index arrays.
+
+    TPU note: gathering the upper triangle (``d2[triu_indices]``) is a
+    ~n^2/2-element gather whose VJP is a scatter-add; both are slot-bound
+    on TPU and made each uniformity grad ~105 ms at n=2048 — pushing the
+    whole-epoch DirectAU scan past the worker's single-dispatch limit.
+    Masked full-matrix reductions keep everything elementwise + matmul."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return r < c
+
+
 def uniformity_loss(x, t: int = 2):
     """DirectAU uniformity: log E exp(-t ||xi-xj||^2) over distinct pairs
-    (reference DirectAU.py:42-45 uses torch.pdist — strictly i<j pairs)."""
+    (reference DirectAU.py:42-45 uses torch.pdist — strictly i<j pairs),
+    computed as a masked logsumexp over the full pair matrix (see
+    :func:`_strict_upper` for why no triangle gather)."""
     x = l2_normalize(x)
     sq = jnp.sum(x * x, axis=-1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
     n = x.shape[0]
-    iu = jnp.triu_indices(n, k=1)
-    pair_d2 = d2[iu]
-    return jax.nn.logsumexp(-t * pair_d2) - jnp.log(pair_d2.shape[0])
+    tri = _strict_upper(n)
+    neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+    logits = jnp.where(tri, -t * d2, neg_inf)
+    return jax.nn.logsumexp(logits) - jnp.log(n * (n - 1) // 2)
 
 
 def uniformity_loss_masked(x, mask, t: int = 2):
@@ -163,20 +179,19 @@ def uniformity_loss_masked(x, mask, t: int = 2):
     sq = jnp.sum(x * x, axis=-1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
     n = x.shape[0]
-    iu = jnp.triu_indices(n, k=1)
-    pair_d2 = d2[iu]
     m = mask.astype(x.dtype)
-    pair_valid = (m[:, None] * m[None, :])[iu]
+    pair_valid = _strict_upper(n) & (m[:, None] * m[None, :] > 0)
     # <2 valid rows -> no valid pairs. The reference would produce -inf here
-    # (torch.logsumexp over torch.pdist's empty output) and NaN-poison the
+    # (torch.logsumexp over torch.pdist's empty output) and NaN-poison its
     # backward pass; we return 0 with zero gradient instead (deliberate
     # deviation, documented in PARITY.md). The double-where keeps the
     # all-invalid branch finite so reverse-mode sees no NaN.
-    has_pairs = jnp.sum(pair_valid) > 0
+    n_pairs = jnp.sum(pair_valid.astype(x.dtype))
+    has_pairs = n_pairs > 0
     safe_valid = jnp.where(has_pairs, pair_valid, jnp.ones_like(pair_valid))
     neg_inf = jnp.asarray(-jnp.inf, x.dtype)
-    logits = jnp.where(safe_valid > 0, -t * pair_d2, neg_inf)
-    lse = jax.nn.logsumexp(logits) - jnp.log(jnp.sum(safe_valid))
+    logits = jnp.where(safe_valid, -t * d2, neg_inf)
+    lse = jax.nn.logsumexp(logits) - jnp.log(jnp.maximum(n_pairs, 1.0))
     return jnp.where(has_pairs, lse, 0.0)
 
 
