@@ -635,21 +635,30 @@ def bench_knn():
     model.train()
     np.asarray(model.neighbor_ids)[:1]
     dt_user = time.time() - t0
-    log(f"[knn] UserKNN build {dt_user:.2f}s")
+    t0 = time.time()  # jit-cached second build isolates device time
+    model.train()
+    np.asarray(model.neighbor_ids)[:1]
+    dev_user = time.time() - t0
+    log(f"[knn] UserKNN build {dt_user:.2f}s (device {dev_user:.2f}s)")
     conf_i = _graph_conf("ItemKNN", {}, **{"topK": 50, "shrinkage": 100})
     model_i = get_model_class("ItemKNN")(conf_i, train, test)
     model_i.build()
     t0 = time.time()
     model_i.train()  # syncs internally (ids_out is host numpy)
     dt_item = time.time() - t0
-    log(f"[knn] ItemKNN build {dt_item:.2f}s")
+    t0 = time.time()
+    model_i.train()
+    dev_item = time.time() - t0
+    log(f"[knn] ItemKNN build {dt_item:.2f}s (device {dev_item:.2f}s)")
     return {
         "metric": "userknn_yelp2018scale_similarity_build_walltime",
         "value": round(dt_user, 3),
         "unit": "s",
         "ref_key": "userknn",
         "detail": {"userknn_build_s": round(dt_user, 3),
+                   "userknn_device_s": round(dev_user, 3),
                    "itemknn_build_s": round(dt_item, 3),
+                   "itemknn_device_s": round(dev_item, 3),
                    "topk": 50, "shrinkage": 100},
     }
 

@@ -6,9 +6,10 @@ positive neighbors per item (ItemKNN.py:36-56), prediction score[j] =
 sum_{i in rated(u)} sim(i,j)*r / (sum sim + 1e-8) over each rated item's
 neighbor list (ItemKNN.py:58-81).
 
-Same blocked-SpMM rebuild as UserKNN: co-occurrence C = Rᵀ R per item block,
-then user scores via an SpMM of the rated-row block against the sparse
-top-k item-similarity edges.
+Same one-dispatch dense int8 MXU build as UserKNN (`ops/knn.py`, C = Rᵀ R
+with exact s32 accumulation, blocked edge-scatter SpMM fallback under HBM
+pressure), then user scores via an SpMM of the rated-row block against the
+sparse top-k item-similarity edges.
 """
 
 from __future__ import annotations
@@ -60,6 +61,34 @@ class ItemKNN(GraphRecommender):
         return block
 
     def train(self):
+        from selfrec_tpu.ops import knn
+
+        n_i = self.data.item_num
+        res = knn.topk_shrunk_cosine(
+            self.data.edge_items,
+            self.data.edge_users,
+            n_i,
+            self.data.user_num,
+            self._item_deg,
+            self.shrinkage,
+            self.k_eff,
+        )
+        if res is not None:
+            sims_out, ids_out = (np.asarray(res[0]), np.asarray(res[1]))
+        else:
+            sims_out, ids_out = self._train_blocked()
+        # sparse top-k similarity as spmm edges: out[j] += sim(i,j) * x[i]
+        k = self.k_eff
+        src = np.repeat(np.arange(n_i, dtype=np.int32), k)
+        dst = ids_out.reshape(-1)
+        w = sims_out.reshape(-1)
+        keep = w > 0
+        self._sim_adj = NormAdj(
+            jnp.asarray(src[keep]), jnp.asarray(dst[keep]), jnp.asarray(w[keep]), n_i
+        )
+
+    def _train_blocked(self):
+        """HBM-budget fallback: per-block edge-scatter SpMM build."""
         n_i = self.data.item_num
         deg = self._item_deg
         k = self.k_eff
@@ -89,14 +118,7 @@ class ItemKNN(GraphRecommender):
             )
             ids_out[b0 : b0 + valid] = np.asarray(ti)[:valid]
             sims_out[b0 : b0 + valid] = np.asarray(ts)[:valid]
-        # sparse top-k similarity as spmm edges: out[j] += sim(i,j) * x[i]
-        src = np.repeat(np.arange(n_i, dtype=np.int32), k)
-        dst = ids_out.reshape(-1)
-        w = sims_out.reshape(-1)
-        keep = w > 0
-        self._sim_adj = NormAdj(
-            jnp.asarray(src[keep]), jnp.asarray(dst[keep]), jnp.asarray(w[keep]), n_i
-        )
+        return sims_out, ids_out
 
     def _dense_user_rows(self, uids: np.ndarray) -> np.ndarray:
         block = np.zeros((len(uids), self.data.item_num), dtype=np.float32)

@@ -7,10 +7,12 @@ excluding self (UserKNN.py:41-52), prediction score[i] = sum_v sim*r /
 (sum_v sim + 1e-8) over neighbors that rated i (UserKNN.py:61-80).
 
 TPU rebuild of the reference's O(U^2) per-pair Python dict loops: the
-common-count matrix is a blocked SpMM over the interaction edge list
-(co-occurrence C = R Rᵀ computed per user block on the MXU), the neighbor
-scores another SpMM of the scattered top-k weight block — no per-user host
-work at all.
+similarity build is one device dispatch — dense int8 incidence R scattered
+once, co-occurrence C = R Rᵀ per user block as native s8 x s8 MXU matmuls
+with exact s32 accumulation, shrunk cosine + top-k fused in the same
+`lax.scan` step (`ops/knn.py`). Falls back to a blocked edge-scatter SpMM
+build when dense R exceeds the HBM budget; neighbor scores are an SpMM of
+the scattered top-k weight block either way — no per-user host work at all.
 """
 
 from __future__ import annotations
@@ -53,6 +55,24 @@ class UserKNN(GraphRecommender):
         return block
 
     def train(self):
+        from selfrec_tpu.ops import knn
+
+        res = knn.topk_shrunk_cosine(
+            self.data.edge_users,
+            self.data.edge_items,
+            self.data.user_num,
+            self.data.item_num,
+            self._degrees,
+            self.shrinkage,
+            self.k_eff,
+        )
+        if res is not None:
+            self.neighbor_sims, self.neighbor_ids = res
+            return
+        self._train_blocked()
+
+    def _train_blocked(self):
+        """HBM-budget fallback: per-block edge-scatter SpMM build."""
         n_u = self.data.user_num
         deg = self._degrees
         k = self.k_eff
