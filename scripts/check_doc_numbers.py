@@ -89,6 +89,25 @@ def bindings(m, r):
           (m["bert4rec"]["value"], "ic"), (m["bert4rec"]["vs_baseline"], "x1")),
         B("README.md", r"CL4SRec \*\*([\d,]+) seq/s \(([\d.]+)x\)\*\*",
           (m["cl4srec"]["value"], "ic"), (m["cl4srec"]["vs_baseline"], "x1")),
+        # README.md round-4 completions bullet
+        B("README.md", r"MF \*\*([\d,]+) ex/s \(([\d.]+)x\)\*\*",
+          (m["mf"]["value"], "ic"), (m["mf"]["vs_baseline"], "x1")),
+        B("README.md", r"LightGCN \*\*([\d,]+) ex/s \(([\d.]+)x\)\*\*",
+          (m["lightgcn"]["value"], "ic"), (m["lightgcn"]["vs_baseline"], "x1")),
+        B("README.md", r"DirectAU \*\*([\d,]+) ex/s \(([\d.]+)x\)\*\*",
+          (m["directau"]["value"], "ic"), (m["directau"]["vs_baseline"], "x1")),
+        B("README.md", r"SSL4Rec\s+\*\*([\d,]+) ex/s \(([\d.]+)x\)\*\*",
+          (m["ssl4rec"]["value"], "ic"), (m["ssl4rec"]["vs_baseline"], "x1")),
+        B("README.md", r"SelfCF \*\*([\d,]+) ex/s \(([\d.]+)x\)\*\*",
+          (m["selfcf"]["value"], "ic"), (m["selfcf"]["vs_baseline"], "x1")),
+        B("README.md",
+          r"\*\*([\d.]+)s wall\*\* including compile [\s\S]*?extrapolated ([\d,]+)s O\(U²\) loop \(\*\*([\d.]+)x\*\*\)",
+          (m["knn"]["value"], "s3"), (r["userknn"], "ic"),
+          (m["knn"]["vs_baseline"], "x1")),
+        B("README.md",
+          r"eval of ([\d,]+) sequences in \*\*([\d.]+)s \(([\d.]+)x\)\*\*",
+          (_get(m, "seq_eval.detail.sequences"), "ic"),
+          (m["seq_eval"]["value"], "s3"), (m["seq_eval"]["vs_baseline"], "x1")),
         # SURVEY.md §10 round-3 delta claims
         B("SURVEY.md", r"SimGCL \*\*([\d,]+) ex/s\s+\(([\d.]+)x\)\*\*, quality-gated",
           (m["simgcl"]["value"], "ic"), (m["simgcl"]["vs_baseline"], "x1")),
@@ -106,7 +125,8 @@ def main():
     with open(os.path.join(REPO, "BENCH_MATRIX.json")) as f:
         m = json.load(f)
     with open(os.path.join(REPO, "REF_BASELINES.json")) as f:
-        r = {k: v["examples_per_sec"] for k, v in json.load(f).items()}
+        r = {k: v.get("examples_per_sec", v.get("seconds"))
+             for k, v in json.load(f).items()}
 
     errors = []
     by_file = {}
