@@ -709,24 +709,42 @@ class SequentialRecommender(_FastEvalMixin, Recommender):
         seq, pos, seq_len = self.data.padded_test_arrays(self.max_len)
         n = seq.shape[0]
         bs = self.batch_size
-        predict = self._predict_jit
-        ids_blocks, score_blocks = [], []
-        for b0 in range(0, n, bs):
-            s, p, sl = seq[b0 : b0 + bs], pos[b0 : b0 + bs], seq_len[b0 : b0 + bs]
-            valid = s.shape[0]
-            if valid < bs:  # pad block to keep one compiled shape
-                padk = bs - valid
-                s = np.concatenate([s, np.zeros((padk, s.shape[1]), s.dtype)])
-                p = np.concatenate([p, np.zeros((padk, p.shape[1]), p.dtype)])
-                sl = np.concatenate([sl, np.ones(padk, sl.dtype)])
-            scores, ids = ranking.topk_scores_unmasked(
-                predict(self.params, jnp.asarray(s), jnp.asarray(p), jnp.asarray(sl)),
-                self.max_N,
-            )
-            ids_blocks.append(np.asarray(ids)[:valid])
-            score_blocks.append(np.asarray(scores)[:valid])
-        ids = np.concatenate(ids_blocks)
-        scores = np.asarray(np.concatenate(score_blocks), dtype=np.float64)
+        # ONE device dispatch for the whole catalog rank: a jitted
+        # lax.scan over fixed-size blocks (per-block dispatches over the
+        # tunnel dominated this path — 88 round-trips at amazon-beauty
+        # scale; reference loops one user at a time,
+        # base/seq_recommender.py:34-55)
+        n_pad = (-n) % bs
+        if n_pad:
+            seq = np.concatenate(
+                [seq, np.zeros((n_pad, seq.shape[1]), seq.dtype)])
+            pos = np.concatenate(
+                [pos, np.zeros((n_pad, pos.shape[1]), pos.dtype)])
+            seq_len = np.concatenate([seq_len, np.ones(n_pad, seq_len.dtype)])
+        blocks = (n + n_pad) // bs
+        if getattr(self, "_test_scan_jit", None) is None:
+            max_n = self.max_N
+
+            def run(params, seqb, posb, slb):
+                def body(_, xs):
+                    s, p, sl = xs
+                    sc, ids = ranking.topk_scores_unmasked(
+                        self.predict_scores(params, s, p, sl), max_n
+                    )
+                    return None, (sc, ids)
+
+                _, (sc, ids) = jax.lax.scan(body, None, (seqb, posb, slb))
+                return sc.reshape(-1, max_n), ids.reshape(-1, max_n)
+
+            self._test_scan_jit = jax.jit(run)
+        scores_d, ids_d = self._test_scan_jit(
+            self.params,
+            jnp.asarray(seq.reshape(blocks, bs, -1)),
+            jnp.asarray(pos.reshape(blocks, bs, -1)),
+            jnp.asarray(seq_len.reshape(blocks, bs)),
+        )
+        ids = np.asarray(ids_d)[:n]
+        scores = np.asarray(scores_d, dtype=np.float64)[:n]
         # pad/oov ids are filtered AFTER top-k, so lists may be short
         # (reference quirk, base/seq_recommender.py:47-50); bulk-translate
         # names then compress per row
