@@ -28,13 +28,19 @@ Workloads (VERDICT round-1 item 5 — one workload per engine):
   device top-k ids + vectorized id metrics (string path in detail).
 
 Further workloads: ``xsimgcl`` (the reference leaderboard's top model,
-single perturbed chain) and ``buir`` (per-step dense dropout_view).
+single perturbed chain), ``buir`` (per-step dense dropout_view),
+``bert4rec``/``cl4srec`` (masked-LM / contrastive sequential), and the
+round-4 completions — ``mf``, ``lightgcn``, ``directau``, ``ssl4rec``,
+``selfcf`` (train throughput), ``knn`` (UserKNN+ItemKNN similarity-build
+walltime, one int8 MXU dispatch each), ``seq_eval`` (sequential
+full-catalog eval walltime, one scanned dispatch).
 Reference comparators come from REF_BASELINES.json (measured on this box
 by scripts/bench_reference.py — the reference's own torch code on host
-CPU for simgcl/xsimgcl/sasrec/sgl/ncl/mixgcf/buir, op-for-op torch
-transliterations of the TF1 graphs for mhcn/sept); ``vs_baseline`` is
-null only for eval (the reference's eval is a per-user numba loop and
-numba isn't installed).
+CPU for every torch model, its own Python loops for the KNN build and
+sequential eval, op-for-op torch transliterations of the TF1 graphs for
+mhcn/sept); ``vs_baseline`` is null only for eval (the reference's graph
+eval is a per-user numba loop and numba isn't installed — a pure-Python
+stand-in would overstate our multiple).
 
 Writes every workload to BENCH_MATRIX.json and prints the headline SimGCL
 line (ONE JSON line, driver contract) to stdout last.

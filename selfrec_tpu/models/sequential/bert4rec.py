@@ -53,13 +53,24 @@ class BERT4Rec(SASRec):
         )
         aug_seq = jnp.where(chosen, aug_seq, batch["seq"])
         seq_emb = self._encode(params, aug_seq, batch["pos"], key=k_enc)
-        logits = seq_emb @ params["item_emb"].T
-        labels = batch["seq"]
+        # full-vocab logits ONLY at masked positions: per row at most
+        # max(floor(L * rate), 1) positions are masked, so gather them
+        # into a fixed-K buffer (top_k over the 0/1 mask keeps chosen
+        # indices first, ties broken low-index) — the (B, L, V) softmax
+        # was 65% of the step, this halves its traffic at rate 0.5 while
+        # computing the IDENTICAL per-position CE (the reference also
+        # cross-entropies masked entries only, BERT4Rec.py:57-62)
+        k_sel = min(l, max(int(l * self.mask_rate), 1))
+        sel_val, sel_idx = jax.lax.top_k(chosen.astype(jnp.int32), k_sel)
+        valid = sel_val > 0
+        emb_sel = jnp.take_along_axis(seq_emb, sel_idx[..., None], axis=1)
+        labels_sel = jnp.take_along_axis(batch["seq"], sel_idx, axis=1)
+        logits = emb_sel @ params["item_emb"].T  # (B, K, vocab)
         ce = -jnp.take_along_axis(
-            jax.nn.log_softmax(logits, axis=-1), labels[..., None], axis=-1
+            jax.nn.log_softmax(logits, axis=-1), labels_sel[..., None], axis=-1
         )[..., 0]
         n_masked = jnp.maximum(jnp.sum(chosen), 1.0)
-        rec = jnp.sum(jnp.where(chosen, ce, 0.0)) / n_masked / n_masked
+        rec = jnp.sum(jnp.where(valid, ce, 0.0)) / n_masked / n_masked
         return rec + l2_reg_loss(self.reg, params["item_emb"])
 
     def predict_scores(self, params, seq, pos, seq_len):

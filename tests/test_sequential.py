@@ -152,3 +152,53 @@ def test_bert4rec_end_to_end(tiny_seq_dataset):
         max_epoch=20,
     )
     assert perf["Recall"] > 0.3
+
+
+def test_bert4rec_gathered_ce_equals_full_grid(tiny_seq_dataset):
+    """The fixed-K gathered masked-CE (batch_loss) must equal the full
+    (B, L, vocab) log-softmax formulation it replaced — same masked
+    positions, same per-position CE, same double division."""
+    import jax
+    import jax.numpy as jnp
+
+    from selfrec_tpu.ops import seq_sampling
+    from selfrec_tpu.ops.losses import l2_reg_loss
+
+    train, test = tiny_seq_dataset
+    conf = make_conf(
+        "BERT4Rec",
+        extra={"n_blocks": 1, "drop_rate": 0.1, "n_heads": 1,
+               "mask_rate": 0.5})
+    m = get_model_class("BERT4Rec")(conf, train, test)
+    m.build()
+    seqs, pos, y, lens = m.data.padded_training_arrays(m.max_len)
+    B = 16
+    batch = {
+        "seq": jnp.asarray(seqs[:B]), "pos": jnp.asarray(pos[:B]),
+        "y": jnp.asarray(y[:B]), "seq_len": jnp.asarray(lens[:B]),
+        "row_mask": jnp.ones((B,), jnp.float32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    def full_grid_loss(params, batch, key):
+        k_mask, k_enc = jax.random.split(key)
+        seq_len = jnp.maximum(batch["seq_len"], 1)
+        aug_seq, chosen = seq_sampling.bert_mask(
+            k_mask, batch["seq"], seq_len, m.mask_rate, m.data.item_num + 1)
+        L = batch["seq"].shape[1]
+        chosen = (chosen
+                  & (jnp.arange(L)[None, :] < batch["seq_len"][:, None])
+                  & (batch["row_mask"][:, None] > 0))
+        aug_seq = jnp.where(chosen, aug_seq, batch["seq"])
+        seq_emb = m._encode(params, aug_seq, batch["pos"], key=k_enc)
+        logits = seq_emb @ params["item_emb"].T
+        ce = -jnp.take_along_axis(
+            jax.nn.log_softmax(logits, axis=-1),
+            batch["seq"][..., None], axis=-1)[..., 0]
+        n = jnp.maximum(jnp.sum(chosen), 1.0)
+        return (jnp.sum(jnp.where(chosen, ce, 0.0)) / n / n
+                + l2_reg_loss(m.reg, params["item_emb"]))
+
+    got = float(m.batch_loss(m.params, batch, key))
+    want = float(full_grid_loss(m.params, batch, key))
+    assert abs(got - want) <= 1e-5 * max(1.0, abs(want)), (got, want)
