@@ -455,9 +455,11 @@ class JAXGraphRecommender(GraphRecommender):
         # binary search (~21 gathers/candidate) to a packed-bitmap probe
         # (1 gather/candidate) when the (U, ceil(I/32)) uint32 bitmap fits
         # the budget — measured sampling ~112 -> ~5 ms/batch at yelp scale
-        # (whole MixGCF step 116 -> 37 ms). Built here (not __init__)
-        # because subclasses set n_negs after super().__init__.
-        if self.n_negs > 1 and self.data.user_num:
+        # for MixGCF's 131k lanes (whole step 116 -> 37 ms), and ~1.8 ->
+        # ~0.1 ms/batch for plain n_negs=1 BPR batches, where the binary
+        # search was 60% of an MF step (round 4). Built here (not
+        # __init__) because subclasses set n_negs after super().__init__.
+        if self.data.user_num:
             import os
 
             words = (self.data.item_num + 31) // 32
