@@ -357,7 +357,7 @@ def run_ref(model_name, epochs):
 # our side
 # --------------------------------------------------------------------------
 
-def run_ours(model_name, epochs):
+def run_ours(model_name, epochs, seed=0):
     from bench import _graph_conf
     from selfrec_tpu.models import get_model_class
 
@@ -367,7 +367,7 @@ def run_ours(model_name, epochs):
                    "ins_cnt": 10})
     conf = _graph_conf(model_name, extra,
                        **{"social.data": "<synthetic>",
-                          "max.epoch": epochs})
+                          "max.epoch": epochs, "seed": seed})
     model = get_model_class(model_name)(conf, train, test,
                                         **{"social.data": social})
     model.execute()
@@ -378,6 +378,8 @@ def main():
     ap.add_argument("--model", required=True, choices=["MHCN", "SEPT"])
     ap.add_argument("--side", required=True, choices=["ref", "ours"])
     ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="model seed (ours side only; data stays seed-1237)")
     args = ap.parse_args()
     if args.side == "ref":
         import types
@@ -388,7 +390,7 @@ def main():
         sys.path.insert(0, "/root/reference")
         run_ref(args.model, args.epochs)
     else:
-        run_ours(args.model, args.epochs)
+        run_ours(args.model, args.epochs, args.seed)
 
 
 if __name__ == "__main__":
