@@ -377,3 +377,27 @@ def test_bitmap_negative_sampling_excludes_rated():
         rated = set(flat_np[offsets_np[u]:offsets_np[u + 1]].tolist())
         for j in row:
             assert int(j) not in rated and 0 <= j < n_items
+
+
+def test_bitmap_built_for_all_pairwise_models(monkeypatch, tiny_graph_dataset, tiny_conf_dict):
+    """Round 4: the packed-bitmap membership probe serves EVERY pairwise
+    sampler (not just n_negs>1) when it fits the budget, and the CSR
+    binary-search fallback engages when it doesn't."""
+    from selfrec_tpu.config import ModelConf
+    from selfrec_tpu.models import get_model_class
+
+    train, test = tiny_graph_dataset
+    conf = dict(tiny_conf_dict)
+    conf["model"] = {"name": "MF", "type": "graph"}
+    conf["MF"] = {}
+
+    m = get_model_class("MF")(ModelConf(conf), train, test)
+    m.build()
+    assert m._rated_bitmap is not None  # n_negs == 1, still bitmap
+
+    monkeypatch.setenv("SELFREC_TPU_NEG_BITMAP_MB", "0")
+    m2 = get_model_class("MF")(ModelConf(conf), train, test)
+    m2.build()
+    assert m2._rated_bitmap is None  # budget gate -> CSR fallback
+    # both paths still train
+    m2.train()
