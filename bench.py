@@ -728,12 +728,22 @@ def bench_eval():
     from selfrec_tpu.utils import metrics
     from selfrec_tpu.utils.synth import synth_graph_mapped
 
+    import jax.numpy as jnp
+
     train, test = synth_graph_mapped()
     conf = _graph_conf("MF", {})
     data = Interaction(conf, train, test)
     rng = np.random.default_rng(0)
-    user_emb = rng.normal(size=(data.user_num, 64)).astype(np.float32)
-    item_emb = rng.normal(size=(data.item_num, 64)).astype(np.float32)
+    # device-resident tables, as in production: fast_evaluation ranks the
+    # OUTPUT of compute_embeddings, which never leaves the device — the
+    # one-time H2D below is bench setup, not a per-eval cost (round 4:
+    # the old host-numpy arguments re-shipped 17.8 MB over the tunnel
+    # per timed call, ~0.47 s that production never pays)
+    t0 = time.time()
+    user_emb = jnp.asarray(rng.normal(size=(data.user_num, 64)).astype(np.float32))
+    item_emb = jnp.asarray(rng.normal(size=(data.item_num, 64)).astype(np.float32))
+    jax.block_until_ready(item_emb)
+    h2d_s = time.time() - t0
     offsets, items = data.test_gt_csr()
 
     def fast_once():
@@ -768,6 +778,7 @@ def bench_eval():
         "ref_key": None,
         "detail": {"rank_s": round(t_rank, 3), "metrics_s": round(t_metrics, 3),
                    "users_per_s": round(n_users / t_rank, 1),
+                   "setup_h2d_s": round(h2d_s, 3),
                    "string_path_s": round(s_rank + s_metrics, 3),
                    "string_metrics_s": round(s_metrics, 3)},
     }
