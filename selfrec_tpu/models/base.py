@@ -576,16 +576,34 @@ class JAXGraphRecommender(GraphRecommender):
         return np.random.default_rng((self.seed, epoch, stream))
 
     def run_epoch(self, epoch: int) -> np.ndarray:
+        import os
+
         if self._epoch_fn is None:
             self._epoch_fn = self._make_epoch_fn()
-        users, items, masks = sampling.epoch_pairwise_batches(
-            self.epoch_rng(epoch),
-            self.data.edge_users,
-            self.data.edge_items,
-            self.batch_size,
-        )
+        if os.environ.get("SELFREC_TPU_HOST_BATCHES") == "1":
+            # host A/B path: numpy shuffle + per-epoch H2D of the batches
+            users, items, masks = sampling.epoch_pairwise_batches(
+                self.epoch_rng(epoch),
+                self.data.edge_users,
+                self.data.edge_items,
+                self.batch_size,
+            )
+            users, items, masks = (
+                jnp.asarray(users), jnp.asarray(items), jnp.asarray(masks))
+        else:
+            # device path: edges stay resident, the shuffle runs on device
+            # (zero per-epoch H2D); key is a pure function of (seed, epoch)
+            # so resume matches continuous runs, same as epoch_rng
+            if getattr(self, "_edges_dev", None) is None:
+                self._edges_dev = (
+                    jnp.asarray(self.data.edge_users),
+                    jnp.asarray(self.data.edge_items),
+                )
+            shuffle_key = jax.random.fold_in(
+                jax.random.PRNGKey(self.seed ^ 0x5E1F), epoch)
+            users, items, masks = sampling.epoch_pairwise_batches_device(
+                shuffle_key, *self._edges_dev, self.batch_size)
         aux = self.epoch_setup(epoch)
-        users, items, masks = (jnp.asarray(users), jnp.asarray(items), jnp.asarray(masks))
         if self.mesh is not None:
             sb = mesh_lib.scan_batch_sharding(self.mesh)
             users = jax.device_put(users, sb)
