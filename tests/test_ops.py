@@ -401,3 +401,29 @@ def test_bitmap_built_for_all_pairwise_models(monkeypatch, tiny_graph_dataset, t
     assert m2._rated_bitmap is None  # budget gate -> CSR fallback
     # both paths still train
     m2.train()
+
+
+def test_device_epoch_batches_is_a_permutation():
+    """epoch_pairwise_batches_device: every edge appears exactly once,
+    pad rows are masked out, shapes match the host twin."""
+    import numpy as np
+
+    import jax
+
+    eu = np.arange(1000, dtype=np.int32) % 37
+    ei = np.arange(1000, dtype=np.int32) % 53
+    B = 64
+    u, i, m = sampling.epoch_pairwise_batches_device(
+        jax.random.PRNGKey(3), jnp.asarray(eu), jnp.asarray(ei), B)
+    hu, hi, hm = sampling.epoch_pairwise_batches(
+        np.random.default_rng(0), eu, ei, B)
+    assert u.shape == hu.shape and m.shape == hm.shape
+    u, i, m = np.asarray(u), np.asarray(i), np.asarray(m)
+    assert m.sum() == 1000 and m.reshape(-1)[:1000].all()
+    # the (u, i) PAIRS are a permutation of the edge list
+    got = sorted(zip(u.reshape(-1)[:1000].tolist(),
+                     i.reshape(-1)[:1000].tolist()))
+    want = sorted(zip(eu.tolist(), ei.tolist()))
+    assert got == want
+    # and actually shuffled (not identity at this size)
+    assert u.reshape(-1)[:1000].tolist() != eu.tolist()
