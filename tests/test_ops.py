@@ -427,3 +427,37 @@ def test_device_epoch_batches_is_a_permutation():
     assert got == want
     # and actually shuffled (not identity at this size)
     assert u.reshape(-1)[:1000].tolist() != eu.tolist()
+
+
+def test_bitmap_compacted_rejection_wide_lanes():
+    """Round 4: the wide-lane bitmap sampler compacts failing lanes into
+    a fixed-K buffer for the redraw rounds. Force the compacted path
+    (16384 lanes > 4*K) on a DENSE tiny catalog (50% rated) so thousands
+    of lanes fail the first probe, and assert every returned negative is
+    unrated — identical semantics to the dense loop."""
+    import numpy as np
+
+    import jax
+
+    n_users, n_items = 64, 400
+    rng = np.random.default_rng(5)
+    rated = [np.sort(rng.choice(n_items, size=n_items // 2, replace=False))
+             for _ in range(n_users)]
+    offsets = np.zeros(n_users + 1, np.int64)
+    offsets[1:] = np.cumsum([len(r) for r in rated])
+    flat = np.concatenate(rated).astype(np.int32)
+    bm = jnp.asarray(sampling.pack_rated_bitmap(offsets, flat,
+                                                n_users, n_items))
+    B, NN = 256, 64  # 16384 lanes -> compacted path
+    users = jnp.asarray(rng.integers(0, n_users, B).astype(np.int32))
+    negs = np.asarray(sampling.sample_negatives_bitmap(
+        jax.random.PRNGKey(0), users, bm, n_items, shape=(B, NN),
+        n_rounds=12))
+    assert negs.shape == (B, NN)
+    assert (negs >= 0).all() and (negs < n_items).all()
+    users_np = np.asarray(users)
+    rated_sets = [set(r.tolist()) for r in rated]
+    bad = sum(int(negs[b, t] in rated_sets[users_np[b]])
+              for b in range(B) for t in range(NN))
+    # p=0.5, 12 redraw rounds -> residual ~0.5^13 per lane ~ 2 expected
+    assert bad <= 16, bad
