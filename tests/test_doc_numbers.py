@@ -13,3 +13,36 @@ def test_doc_numbers_match_bench_matrix():
         [sys.executable, os.path.join(REPO, "scripts", "check_doc_numbers.py")],
         capture_output=True, text=True)
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_bench_writes_scratch_unless_flagged(tmp_path, monkeypatch):
+    """bench.py must not rewrite the matrix of record (which the doc
+    bindings above are pinned to) unless SELFREC_TPU_UPDATE_MATRIX=1 —
+    ad-hoc/driver runs land in scratch BENCH_LAST.json instead, so
+    run-to-run variance can't drift the committed headline numbers."""
+    import json
+
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.remove(REPO)
+
+    def fake_workload():
+        return {"metric": "fake", "value": 1.0, "unit": "s"}
+
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    monkeypatch.setattr(bench, "WORKLOADS", {"fake": fake_workload})
+    monkeypatch.setattr(bench, "ref_baselines", lambda: {})
+    monkeypatch.setattr(sys, "argv", ["bench.py", "fake"])
+
+    monkeypatch.delenv("SELFREC_TPU_UPDATE_MATRIX", raising=False)
+    bench.main()
+    assert (tmp_path / "BENCH_LAST.json").exists()
+    assert not (tmp_path / "BENCH_MATRIX.json").exists()
+    assert json.loads((tmp_path / "BENCH_LAST.json").read_text())["fake"][
+        "metric"] == "fake"
+
+    monkeypatch.setenv("SELFREC_TPU_UPDATE_MATRIX", "1")
+    bench.main()
+    assert (tmp_path / "BENCH_MATRIX.json").exists()
