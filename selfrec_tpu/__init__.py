@@ -12,6 +12,35 @@ Public entry points:
     rec.execute()
 """
 
+import os as _os
+
+
+def _maybe_enable_compile_cache():
+    """Opt-in persistent XLA compilation cache.
+
+    ``SELFREC_TPU_COMPILE_CACHE=<dir>`` makes every jit compile in the
+    framework (epoch scans, eval ranking, KNN builds) persist its
+    executable to <dir> and reload it on later process runs — the
+    reference has no equivalent (torch eager recompiles nothing but also
+    caches nothing). Biggest effect on compile-dominated walltimes: the
+    UserKNN+ItemKNN similarity build is ~11 s XLA compile over ~1 s
+    device work cold, and skips straight to device work warm. Off by
+    default: cache reuse keys on jaxlib/backend fingerprints, and an
+    opt-in keeps bench cold-start numbers honest.
+    """
+    path = _os.environ.get("SELFREC_TPU_COMPILE_CACHE")
+    if not path:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache anything that took >=1s to compile (epoch scans, KNN builds);
+    # trivial kernels stay out so the cache doesn't bloat.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_maybe_enable_compile_cache()
+
 from selfrec_tpu.config import ModelConf
 from selfrec_tpu.session import SelfRecTPU
 

@@ -243,3 +243,31 @@ def test_uniformity_masked_degenerate_batch_finite():
     v2 = float(losses.uniformity_loss_masked(x, mask2))
     d2 = float(jnp.sum((losses.l2_normalize(x[0]) - losses.l2_normalize(x[1])) ** 2))
     assert np.isclose(v2, -2 * d2, rtol=1e-5)
+
+
+def test_compile_cache_env_wires_jax_config():
+    """SELFREC_TPU_COMPILE_CACHE=<dir> must configure JAX's persistent
+    compilation cache at package import (selfrec_tpu/__init__.py); unset,
+    the config must be left alone. Run in subprocesses so the import-time
+    hook actually executes."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import selfrec_tpu;"
+        "print(repr(jax.config.jax_compilation_cache_dir))"
+    )
+    import os
+    env = dict(os.environ, SELFREC_TPU_COMPILE_CACHE="/tmp/selfrec_cc_test")
+    out = subprocess.run([sys.executable, "-c", probe], env=env,
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "/tmp/selfrec_cc_test" in out.stdout, out.stdout
+
+    env_off = {k: v for k, v in os.environ.items()
+               if k != "SELFREC_TPU_COMPILE_CACHE"}
+    out = subprocess.run([sys.executable, "-c", probe], env=env_off,
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "/tmp/selfrec_cc_test" not in out.stdout, out.stdout
