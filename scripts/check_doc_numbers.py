@@ -27,6 +27,8 @@ def _fmt(value, kind):
         return f"{float(value):.3f}"
     if kind == "s2":
         return f"{float(value):.2f}"
+    if kind == "f1":  # bare float, 1 decimal (JSON artifacts)
+        return f"{float(value):.1f}"
     raise ValueError(kind)
 
 
@@ -116,6 +118,36 @@ def bindings(m, r):
           (m["sept"]["value"], "ic"), (m["sept"]["vs_baseline"], "x1")),
         B("SURVEY.md", r"full-rank eval \*\*([\d.]+)s\*\*",
           (m["eval"]["value"], "s3")),
+        # SURVEY.md §11 round-4 delta claims (VERDICT r4 weak 3)
+        B("SURVEY.md",
+          r"new: mf ([\d.]+)x, lightgcn ([\d.]+)x,\s+directau ([\d.]+)x, "
+          r"ssl4rec ([\d.]+)x, selfcf ([\d.]+)x, knn build ([\d.]+)x\s+"
+          r"\(rate-extrapolated O\(U\^2\) reference loop\), seq_eval ([\d.]+)x",
+          (m["mf"]["vs_baseline"], "x1"),
+          (m["lightgcn"]["vs_baseline"], "x1"),
+          (m["directau"]["vs_baseline"], "x1"),
+          (m["ssl4rec"]["vs_baseline"], "x1"),
+          (m["selfcf"]["vs_baseline"], "x1"),
+          (m["knn"]["vs_baseline"], "x1"),
+          (m["seq_eval"]["vs_baseline"], "x1")),
+        B("SURVEY.md", r"— \*\*([\d,]+) ex/s, ([\d.]+)x the\s+reference\*\*",
+          (m["buir"]["value"], "ic"), (m["buir"]["vs_baseline"], "x1")),
+        B("SURVEY.md", r"\(5\.26s -> ([\d.]+)s —",
+          (m["seq_eval"]["value"], "s3")),
+        B("SURVEY.md", r"actually runs: 0\.755s -> ([\d.]+)s\)",
+          (m["eval"]["value"], "s3")),
+        B("SURVEY.md",
+          r"e\.g\. MF ([\d,]+) ex/s \(([\d.]+)x\), MHCN ([\d,]+)\s+"
+          r"\(([\d.]+)x\), SSL4Rec ([\d,]+) \(([\d.]+)x\)",
+          (m["mf"]["value"], "ic"), (m["mf"]["vs_baseline"], "x1"),
+          (m["mhcn"]["value"], "ic"), (m["mhcn"]["vs_baseline"], "x1"),
+          (m["ssl4rec"]["value"], "ic"), (m["ssl4rec"]["vs_baseline"], "x1")),
+        # MULTICHIP_SCALING.json tpu_single_chip block (VERDICT r4 weak 3)
+        B("MULTICHIP_SCALING.json",
+          r"\"examples_per_s_bf16_default\": ([\d.]+),\s+"
+          r"\"examples_per_s_int8x8\": ([\d.]+),",
+          (_get(m, "simgcl.detail.modes.bf16_default.value"), "f1"),
+          (m["simgcl"]["value"], "f1")),
     ]
     return out
 

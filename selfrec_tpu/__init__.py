@@ -34,9 +34,8 @@ def _maybe_enable_compile_cache():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", path)
-    # cache anything that took >=1s to compile (epoch scans, KNN builds);
-    # trivial kernels stay out so the cache doesn't bloat.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # JAX's default min-compile-time threshold (1s) already keeps trivial
+    # kernels out of the cache; only the dir needs setting.
 
 
 _maybe_enable_compile_cache()

@@ -37,11 +37,16 @@ def test_bench_writes_scratch_unless_flagged(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["bench.py", "fake"])
 
     monkeypatch.delenv("SELFREC_TPU_UPDATE_MATRIX", raising=False)
+    # stale scratch from an earlier run/code state must NOT leak into this
+    # run's file (ADVICE r4: un-flagged runs start from a clean scratch)
+    (tmp_path / "BENCH_LAST.json").write_text(
+        json.dumps({"stale": {"metric": "old", "value": 9, "unit": "s"}}))
     bench.main()
     assert (tmp_path / "BENCH_LAST.json").exists()
     assert not (tmp_path / "BENCH_MATRIX.json").exists()
-    assert json.loads((tmp_path / "BENCH_LAST.json").read_text())["fake"][
-        "metric"] == "fake"
+    scratch = json.loads((tmp_path / "BENCH_LAST.json").read_text())
+    assert scratch["fake"]["metric"] == "fake"
+    assert "stale" not in scratch
 
     monkeypatch.setenv("SELFREC_TPU_UPDATE_MATRIX", "1")
     bench.main()
