@@ -499,53 +499,92 @@ def bench_sgl():
     }
 
 
+def _dual_mode_workload(metric, build_model, gates, first_epoch=0,
+                        mode_hook=None):
+    """Measure a D=64 propagation-dominated workload in BOTH numeric
+    modes — bf16 default (reference-parity) and int8x8 quantized (now
+    riding the dual-direction Pallas kernel, ops/dense_dual.py /
+    DUAL_KERNEL.json) — with the int8x8 number as the headline, exactly
+    like the simgcl workload. Every such headline carries per-model
+    convergence gates (``gates``, PARITY.md "Quantized-mode
+    convergence"); the round-5 step breakdowns (*_BREAKDOWN.json) showed
+    these models' steps are HBM-bound on the block read at bf16, which
+    is the regime the dual kernel halves."""
+    saved = os.environ.get("SELFREC_TPU_DENSE_DTYPE")
+    modes = {}
+    try:
+        for mode, env in (("bf16_default", None), ("int8x8", "int8")):
+            if env is None:
+                os.environ.pop("SELFREC_TPU_DENSE_DTYPE", None)
+            else:
+                os.environ["SELFREC_TPU_DENSE_DTYPE"] = env
+            model = build_model()
+            best_dt, spread = _timed_run_epochs(model,
+                                                first_epoch=first_epoch)
+            n_ex = model.data.n_edges
+            modes[mode] = {"value": round(n_ex / best_dt, 1), **spread}
+            log(f"[{metric}:{mode}] epoch {best_dt:.2f}s "
+                f"({modes[mode]['value']:,.0f} ex/s)")
+            if mode_hook is not None:
+                mode_hook(model, modes[mode])
+            del model
+    finally:
+        if saved is None:
+            os.environ.pop("SELFREC_TPU_DENSE_DTYPE", None)
+        else:
+            os.environ["SELFREC_TPU_DENSE_DTYPE"] = saved
+    return {
+        "metric": f"{metric}_yelp2018scale_train_throughput_int8x8",
+        "value": modes["int8x8"]["value"],
+        "unit": "examples/s",
+        "ref_key": metric,
+        "detail": {
+            "mode": "int8x8 quantized propagation via the dual-direction "
+                    "Pallas kernel (SELFREC_TPU_DENSE_DTYPE=int8; "
+                    "framework default is bf16 — see modes.bf16_default)",
+            "quality_gates": gates,
+            "modes": modes,
+        },
+    }
+
+
 def bench_ncl():
     """NCL in the PROTO phase (epochs >= 20, reference NCL.py:85-117): each
     epoch pays the k-means e-step (on-device Lloyd, ops/kmeans.py — the
     reference pays faiss-GPU here, NCL.py:35-44) plus structural +
     prototype InfoNCE batches. Whole-epoch timing makes the e-step cost
-    visible (VERDICT r2 weak 7)."""
+    visible (VERDICT r2 weak 7). Step accounting: NCL_BREAKDOWN.json."""
     import jax
     import numpy as np
 
     extra = {"n_layer": 3, "ssl_reg": 1e-6, "proto_reg": 1e-7, "tau": 0.05,
              "hyper_layers": 1, "alpha": 1.5, "num_clusters": 2000}
-    model = _graph_model("NCL", extra)
-    best_dt, spread = _timed_run_epochs(model, first_epoch=20)
-    # isolate the per-epoch k-means e-step (2 tables x 25 Lloyd iters,
-    # k=2000 — the part the reference pays faiss-GPU for)
-    model.epoch_setup(23)  # compile
-    t0 = time.time()
-    aux = model.epoch_setup(24)
-    np.asarray(jax.tree_util.tree_leaves(aux)[0])[:1]
-    spread["kmeans_estep_s"] = round(time.time() - t0, 3)
-    n_ex = model.data.n_edges
-    log(f"[ncl] proto epoch {best_dt:.2f}s"
-        f" (e-step {spread['kmeans_estep_s']}s)")
-    return {
-        "metric": "ncl_yelp2018scale_proto_train_throughput",
-        "value": round(n_ex / best_dt, 1),
-        "unit": "examples/s",
-        "ref_key": "ncl",
-        "detail": spread,
-    }
+
+    def estep_hook(model, mode_entry):
+        # isolate the per-epoch k-means e-step (2 tables x 25 Lloyd
+        # iters, k=2000 — the part the reference pays faiss-GPU for)
+        model.epoch_setup(23)  # compile
+        t0 = time.time()
+        aux = model.epoch_setup(24)
+        np.asarray(jax.tree_util.tree_leaves(aux)[0])[:1]
+        mode_entry["kmeans_estep_s"] = round(time.time() - t0, 3)
+
+    return _dual_mode_workload(
+        "ncl", lambda: _graph_model("NCL", extra),
+        "3-seed bands: results/h2h/our_NCL_30_int8x8{,_s1,_s2}.log "
+        "(int8x8 mean inside the bf16 seed band, PARITY.md)",
+        first_epoch=20, mode_hook=estep_hook)
 
 
 def bench_mixgcf():
     """MixGCF with n_negs=64 hard-negative mixing (reference
-    MixGCF.py:96-114, conf defaults)."""
+    MixGCF.py:96-114, conf defaults). Step accounting:
+    MIXGCF_BREAKDOWN.json."""
     extra = {"n_layer": 2, "n_negs": 64}
-    model = _graph_model("MixGCF", extra)
-    best_dt, spread = _timed_run_epochs(model)
-    n_ex = model.data.n_edges
-    log(f"[mixgcf] epoch {best_dt:.2f}s")
-    return {
-        "metric": "mixgcf_yelp2018scale_train_throughput",
-        "value": round(n_ex / best_dt, 1),
-        "unit": "examples/s",
-        "ref_key": "mixgcf",
-        "detail": spread,
-    }
+    return _dual_mode_workload(
+        "mixgcf", lambda: _graph_model("MixGCF", extra),
+        "3-seed bands: results/h2h/our_MixGCF_30_int8x8{,_s1,_s2}.log "
+        "(int8x8 mean inside the bf16 seed band, PARITY.md)")
 
 
 def bench_buir():
@@ -571,20 +610,14 @@ def bench_xsimgcl():
     headline hyperparams (layer=3, l_star=1, lambda=0.2, eps=0.2,
     tau=0.15): ONE perturbed propagation chain serves both the rec and cl
     losses, so the whole epoch fits one dispatch well under the tunnel's
-    program-kill threshold."""
+    program-kill threshold. Step accounting: XSIMGCL_BREAKDOWN.json (the
+    step IS the propagation: perturbation 0.04 ms, CL ~1 ms)."""
     extra = {"n_layer": 3, "l_star": 1, "lambda": 0.2, "eps": 0.2,
              "tau": 0.15}
-    model = _graph_model("XSimGCL", extra)
-    best_dt, spread = _timed_run_epochs(model)
-    n_ex = model.data.n_edges
-    log(f"[xsimgcl] epoch {best_dt:.2f}s")
-    return {
-        "metric": "xsimgcl_yelp2018scale_train_throughput",
-        "value": round(n_ex / best_dt, 1),
-        "unit": "examples/s",
-        "ref_key": "xsimgcl",
-        "detail": spread,
-    }
+    return _dual_mode_workload(
+        "xsimgcl", lambda: _graph_model("XSimGCL", extra),
+        "results/h2h/our_XSimGCL_30_int8x8.log (PARITY.md "
+        "Quantized-mode convergence)")
 
 
 def _simple_graph_workload(name, extra, metric, doc):
@@ -611,19 +644,25 @@ def bench_mf():
 
 
 def bench_lightgcn():
-    """LightGCN, reference conf defaults (n_layer=2): one full propagation
-    chain per batch + BPR (reference LightGCN.py:20-35)."""
-    return _simple_graph_workload("LightGCN", {"n_layer": 2}, "lightgcn",
-                                  "LightGCN n_layer=2")
+    """LightGCN at the leaderboard hyperparams (n_layer=3, README.md:138 —
+    same workload fidelity as simgcl, VERDICT r4 weak 5): one full
+    propagation chain per batch + BPR (reference LightGCN.py:20-35).
+    Comparator re-measured config-matched at n_layer=3."""
+    return _simple_graph_workload("LightGCN", {"n_layer": 3}, "lightgcn",
+                                  "LightGCN n_layer=3")
 
 
 def bench_directau():
     """DirectAU (gamma=2, n_layers=3): LGCN forward + alignment/uniformity
     losses — the uniformity term is a batch^2 pdist kernel per batch
-    (reference DirectAU.py:17-47)."""
-    return _simple_graph_workload(
-        "DirectAU", {"gamma": 2, "n_layers": 3}, "directau",
-        "DirectAU gamma=2 L=3")
+    (reference DirectAU.py:17-47). Step accounting:
+    DIRECTAU_BREAKDOWN.json (the step is the propagation; uniformity is
+    0.4 ms of a 21 ms step)."""
+    return _dual_mode_workload(
+        "directau", lambda: _graph_model(
+            "DirectAU", {"gamma": 2, "n_layers": 3}),
+        "results/h2h/our_DirectAU_30_int8x8.log (PARITY.md "
+        "Quantized-mode convergence)")
 
 
 def bench_ssl4rec():

@@ -451,15 +451,31 @@ def _dense_spmm_int8_apply(adj: "DenseAdj", x: jnp.ndarray) -> jnp.ndarray:
     xi = x[adj.n_users :]
     ru = adj.row_scale[:, None] * adj.gain
     ci = adj.col_scale[:, None]
-    dims = (((1,), (0,)), ((), ()))
     yq, ys = _quant_per_channel(ci * xi)
-    out_u = ru * (jax.lax.dot_general(
-        adj.a_ui, yq, dims, preferred_element_type=jnp.int32
-    ).astype(jnp.float32) * ys)
     zq, zs = _quant_per_channel(ru * xu)
-    out_i = ci * (jax.lax.dot_general(
-        adj.a_ui.T, zq, dims, preferred_element_type=jnp.int32
-    ).astype(jnp.float32) * zs)
+    d = x.shape[1]
+    from selfrec_tpu.ops import dense_dual
+
+    env = dense_dual.dual_enabled()
+    use_dual = env != "0" and dense_dual.dual_supported(d, jnp.int8) and (
+        env == "1" or jax.default_backend() == "tpu")
+    if use_dual:
+        # dual-direction Pallas kernel: ONE streaming read of the block
+        # serves both s8 x s8 dots — 3.3 -> 1.83 ms per layer at yelp
+        # scale (DUAL_KERNEL.json); s32 accumulate is bit-identical to
+        # the XLA two-dot lowering (int8_exact_match)
+        ou_raw, oi_raw = dense_dual.dual_matmul(
+            adj.a_ui, zq, yq, dense_dual.interpret_mode())
+        out_u = ru * (ou_raw.astype(jnp.float32) * ys)
+        out_i = ci * (oi_raw.astype(jnp.float32) * zs)
+    else:
+        dims = (((1,), (0,)), ((), ()))
+        out_u = ru * (jax.lax.dot_general(
+            adj.a_ui, yq, dims, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * ys)
+        out_i = ci * (jax.lax.dot_general(
+            adj.a_ui.T, zq, dims, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * zs)
     return jnp.concatenate([out_u, out_i], axis=0).astype(x.dtype)
 
 
