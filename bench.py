@@ -21,9 +21,11 @@ Workloads (VERDICT round-1 item 5 — one workload per engine):
 - ``mixgcf``  — n_negs=64 hard-negative mixing.
 - ``mhcn``/``sept`` — social engine on QUARTER-douban synthetic
   interactions + trust (metric names say quarterdouban — what actually
-  runs; full-douban is practical since the motif algebra moved on-device
-  but its ~70s linear host data build exceeds the per-round budget — see
-  scripts/bench_douban_full.py + DOUBAN_FULLSCALE.json for full scale).
+  runs, kept for round-over-round comparability).
+- ``mhcn_fulldouban`` — the social engine at the reference's real
+  douban-book marginals (round 5; the host data build is ~1 s via the
+  array-fast layer — the round-4 "~70 s host build" was actually XLA
+  compile wall, which the compile cache absorbs).
 - ``eval``    — the PRODUCTION per-epoch eval path at yelp2018 scale:
   device top-k ids + vectorized id metrics (string path in detail).
 
@@ -329,10 +331,10 @@ def bench_cl4srec():
 
 
 def bench_mhcn():
-    # quarter-douban scale: full douban motif precompute takes ~25 host-min
-    # (dense H_p/H_j products) — too slow for a per-round bench, and the
-    # reference comparator is null regardless (TF1 absent). Throughput is
-    # per-edge so the number remains comparable round-over-round.
+    # quarter-douban scale (kept for round-over-round comparability; the
+    # FULL-douban workload below covers the real marginals — the motif
+    # algebra moved on-device in round 3, so build is compile-dominated,
+    # not the "~25 host-min" scipy products it once was)
     from selfrec_tpu.models import get_model_class
 
     t0 = time.time()
@@ -352,6 +354,50 @@ def bench_mhcn():
         "value": round(n_edges / best_dt, 1),
         "unit": "examples/s",
         "ref_key": "mhcn",
+        "detail": spread,
+    }
+
+
+def bench_mhcn_fulldouban():
+    """MHCN at the FULL douban-book marginals (13,024 users / 22,347
+    items / 792k interactions / 169k trust — the reference's own social
+    dataset scale) — promoted into the per-round matrix (VERDICT r4 item
+    6). Practical because the host data layer is array-fast (~1 s; the
+    round-4 suspicion that trust+ratings synthesis cost ~70 s was wrong —
+    profiled round 5) and the motif algebra runs on the MXU
+    (data/motifs.py); the remaining build wall is XLA compiles, which the
+    bench's persistent compile cache absorbs on warm runs. Comparator:
+    the same op-for-op torch transliteration as mhcn, re-measured at full
+    scale (scripts/bench_reference.py mhcn_fulldouban)."""
+    from selfrec_tpu.models import get_model_class
+    from selfrec_tpu.utils.synth import (
+        DOUBAN_INTERACTIONS, DOUBAN_ITEMS, DOUBAN_USERS,
+        synth_graph_triples, synth_social_triples,
+    )
+
+    t0 = time.time()
+    train, test = synth_graph_triples(
+        DOUBAN_USERS, DOUBAN_ITEMS, DOUBAN_INTERACTIONS, seed=1237)
+    social = synth_social_triples(n_users=DOUBAN_USERS, n_relations=169150)
+    log(f"[mhcn_fulldouban] synth data ({time.time()-t0:.1f}s)")
+    conf = _graph_conf(
+        "MHCN", {"n_layer": 2, "ss_rate": 0.01},
+        **{"social.data": "<synthetic>"})
+    t0 = time.time()
+    model = get_model_class("MHCN")(conf, train, test,
+                                    **{"social.data": social})
+    model.build()
+    build_s = round(time.time() - t0, 1)
+    log(f"[mhcn_fulldouban] built incl. device motifs ({build_s}s)")
+    best_dt, spread = _timed_run_epochs(model)
+    spread["build_s"] = build_s
+    n_edges = model.data.n_edges
+    log(f"[mhcn_fulldouban] epoch {best_dt:.2f}s, {n_edges} edges")
+    return {
+        "metric": "mhcn_fulldouban_train_throughput",
+        "value": round(n_edges / best_dt, 1),
+        "unit": "examples/s",
+        "ref_key": "mhcn_fulldouban",
         "detail": spread,
     }
 
@@ -868,6 +914,10 @@ WORKLOADS = {
     "selfcf": bench_selfcf,
     "knn": bench_knn,
     "seq_eval": bench_seq_eval,
+    # round-5 (VERDICT r4 item 6): the social engine at the reference's
+    # real douban-book marginals — LAST so a budget-constrained driver
+    # run drops it first
+    "mhcn_fulldouban": bench_mhcn_fulldouban,
 }
 
 

@@ -328,15 +328,16 @@ def bench_mixgcf():
                           "MixGCF.yaml defaults (n_negs=64)"}
 
 
-def bench_mhcn():
+def bench_mhcn(div=4, scale_tag="quarter-douban"):
     """Social-engine comparator: the reference MHCN is TF1-only
     (model/graph/MHCN.py:183-201 — no TF1 in this image), so this is an
     op-for-op torch transliteration of its build()/train() graph (4-channel
     gated hypergraph convolution, channel attention, hierarchical MIM,
     torch.sparse.mm for every tf.sparse_tensor_dense_matmul), trained with
-    Adam on the SAME quarter-douban synthetic workload bench.py's mhcn
-    runs. Motif algebra is the reference's build_hyper_adj_mats
-    (MHCN.py:27-55) verbatim in scipy."""
+    Adam on the SAME synthetic workload bench.py's mhcn runs (``div``
+    divides the douban-book marginals: 4 = quarter, 1 = full). Motif
+    algebra is the reference's build_hyper_adj_mats (MHCN.py:27-55)
+    verbatim in scipy."""
     import numpy as np
     import scipy.sparse as sp
 
@@ -354,10 +355,10 @@ def bench_mhcn():
 
     t0 = time.time()
     train, test = synth_graph_triples(
-        DOUBAN_USERS // 4, DOUBAN_ITEMS // 4, DOUBAN_INTERACTIONS // 4,
+        DOUBAN_USERS // div, DOUBAN_ITEMS // div, DOUBAN_INTERACTIONS // div,
         seed=1237)
     social = synth_social_triples(
-        n_users=DOUBAN_USERS // 4, n_relations=169150 // 4)
+        n_users=DOUBAN_USERS // div, n_relations=169150 // div)
     conf = ModelConf("./conf/MHCN.yaml")
     data = Interaction(conf, [list(t) for t in train], [list(t) for t in test])
     relation = Relation(conf, [list(t) for t in social], data.user)
@@ -508,7 +509,7 @@ def bench_mhcn():
     return {"examples_per_sec": round(eps, 1), "unit": "examples/s",
             "conditions": "torch host CPU transliteration of the TF1 "
                           "reference (MHCN.py:57-201 op-for-op, "
-                          "torch.sparse.mm), quarter-douban synthetic"}
+                          f"torch.sparse.mm), {scale_tag} synthetic"}
 
 
 def bench_sept():
@@ -1075,7 +1076,10 @@ WORKLOADS = {"simgcl": bench_simgcl, "sasrec": bench_sasrec,
              "mf": bench_mf, "lightgcn": bench_lightgcn,
              "directau": bench_directau, "ssl4rec": bench_ssl4rec,
              "selfcf": bench_selfcf, "userknn": bench_userknn,
-             "seq_eval": bench_seq_eval}
+             "seq_eval": bench_seq_eval,
+             # round-5 (VERDICT r4 item 6): full-douban social comparator
+             "mhcn_fulldouban": lambda: bench_mhcn(
+                 div=1, scale_tag="FULL-douban")}
 
 
 def main():

@@ -17,18 +17,19 @@ each block tile ONCE and feeds it to both dots.
 Measured regimes at yelp scale (DUAL_KERNEL.json, marginal-REPS):
 
 - **int8x8 quantized mode, D=64** (s8 incidence x s8 per-channel-quantized
-  operand, s32-exact accumulate): XLA two-dot 3.3 ms -> dual **1.83 ms**
-  (1.8x) — int8 MXU peak (394 TOPS) keeps the fused kernel's compute
+  operand, s32-exact accumulate): XLA two-dot 3.0 ms -> dual **1.96 ms**
+  (1.55x) — int8 MXU peak (394 TOPS) keeps the fused kernel's compute
   under the single-read HBM floor. THIS is the production use; gated to
   ``SELFREC_TPU_DENSE_DTYPE=int8`` (convergence-gated per model,
   PARITY.md "Quantized-mode convergence") at D <= DUAL_MAX_D.
+- **int8x8, D=192** (SimGCL's stacked 3-view chain): 3.86 -> 3.32 ms
+  (1.16x) — partially compute-bound, smaller but real.
 - **bf16, D=64**: XLA already sits ON the two-read floor (2.9 ms) and the
   fused kernel is COMPUTE-bound at D=64's half-lane MXU utilization
   (4.3-4.8 ms measured; bf16 compute floor 2 * 1.57 ms at 50% util) —
   negative result, XLA stays.
-- **D=192** (SimGCL's stacked 3-view chain): MXU-bound; sharing the read
-  buys nothing (the round-3 dual-kernel rejection, reconfirmed) — XLA
-  stays.
+- **bf16, D=192**: MXU-bound; sharing the read buys nothing (the round-3
+  dual-kernel rejection, reconfirmed) — XLA stays.
 
 Kernel layout — grid = (U-chunks, I-tiles, U-tiles-within-chunk); the
 scoped-VMEM limit on this toolchain is 16 MB so nothing full-size can
@@ -74,8 +75,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 # production gate: int8x8 mode only (bf16 loses to XLA — see module
-# docstring) and the bandwidth-bound width regime
-DUAL_MAX_D = 128
+# docstring). Measured wins: 1.55x at D=64, 1.16x at D=192 (SimGCL's
+# stacked 3-view chain); wider operands are untested — keep XLA there.
+DUAL_MAX_D = 192
 _TU = 2048  # U-tile (inner grid axis)
 _TI = 2048  # I-tile (middle grid axis)
 
