@@ -49,8 +49,10 @@ start so one file never mixes runs) and prints the headline SimGCL line
 (ONE JSON line, driver contract) to stdout the moment the simgcl workload
 finishes AND again last, so both stdout-first and tail-parsing drivers
 resolve it even if a later workload dies. Driver runs carry a wall-clock
-budget (SELFREC_TPU_BENCH_BUDGET_S, default 1500s un-flagged / unlimited
-for matrix captures): workloads that would start past the budget are
+budget (SELFREC_TPU_BENCH_BUDGET_S, default 1000s un-flagged / unlimited
+for matrix captures — the round-4 driver capture died at ~20 min, so the
+driver window is treated as ~1200s with headroom for the in-flight
+workload): workloads that would start past the budget are
 skipped cleanly instead of being timeout-killed mid-flight. The committed
 matrix of record, BENCH_MATRIX.json, is only rewritten when
 ``SELFREC_TPU_UPDATE_MATRIX=1`` — doc headlines are bound to the matrix
@@ -501,11 +503,20 @@ def bench_sgl():
     extra = {"n_layer": 2, "lambda": 0.1, "drop_rate": 0.1, "temp": 0.2,
              "aug_type": 1}
     results = {}
+    saved_dt = os.environ.get("SELFREC_TPU_DENSE_DTYPE")
     # dense (the production backend) FIRST: the ELL arm is the one that has
     # wedged the TPU worker (round-3 prelim run), and a wedged chip poisons
-    # everything after it — record the number that matters before risking it
-    for mode, env in (("dense", "1"), ("ell", "0")):
+    # everything after it — record the number that matters before risking
+    # it. The dense arm runs BOTH numeric modes (refactor_view keeps views
+    # int8-factored, so int8x8 + the dual kernel apply to the per-epoch
+    # dropped views; gate results/h2h/our_SGL_30_int8x8.log).
+    for mode, env, dtype in (("dense_int8x8", "1", "int8"),
+                             ("dense", "1", None), ("ell", "0", None)):
         os.environ["SELFREC_TPU_DENSE"] = env
+        if dtype is None:
+            os.environ.pop("SELFREC_TPU_DENSE_DTYPE", None)
+        else:
+            os.environ["SELFREC_TPU_DENSE_DTYPE"] = dtype
         try:
             t0 = time.time()
             model = _graph_model("SGL", extra)
@@ -530,14 +541,24 @@ def bench_sgl():
             results[mode] = {"error": repr(e)[:200]}
         finally:
             os.environ.pop("SELFREC_TPU_DENSE", None)
-    if "eps" not in results["dense"]:
+            if saved_dt is None:
+                os.environ.pop("SELFREC_TPU_DENSE_DTYPE", None)
+            else:
+                os.environ["SELFREC_TPU_DENSE_DTYPE"] = saved_dt
+    if "eps" not in results["dense_int8x8"]:
         raise RuntimeError(f"sgl dense arm failed: {results}")
-    value = results["dense"]["eps"]
-    detail = {"dense_views": results["dense"], "packed_ell": results["ell"]}
-    if "eps" in results["ell"]:
-        detail["dense_over_ell"] = round(value / results["ell"]["eps"], 2)
+    value = results["dense_int8x8"]["eps"]
+    detail = {"mode": "int8x8 quantized views (bf16 default in "
+                      "dense_views_bf16; gate results/h2h/"
+                      "our_SGL_30_int8x8.log)",
+              "dense_views_int8x8": results["dense_int8x8"],
+              "dense_views_bf16": results["dense"],
+              "packed_ell": results["ell"]}
+    if "eps" in results["ell"] and "eps" in results["dense"]:
+        detail["dense_over_ell"] = round(
+            results["dense"]["eps"] / results["ell"]["eps"], 2)
     return {
-        "metric": "sgl_yelp2018scale_train_throughput",
+        "metric": "sgl_yelp2018scale_train_throughput_int8x8",
         "value": value,
         "unit": "examples/s",
         "ref_key": "sgl",
@@ -694,8 +715,10 @@ def bench_lightgcn():
     same workload fidelity as simgcl, VERDICT r4 weak 5): one full
     propagation chain per batch + BPR (reference LightGCN.py:20-35).
     Comparator re-measured config-matched at n_layer=3."""
-    return _simple_graph_workload("LightGCN", {"n_layer": 3}, "lightgcn",
-                                  "LightGCN n_layer=3")
+    return _dual_mode_workload(
+        "lightgcn", lambda: _graph_model("LightGCN", {"n_layer": 3}),
+        "results/h2h/our_lightgcn100_int8x8.log (100-epoch convergence, "
+        "PARITY.md Quantized-mode convergence)")
 
 
 def bench_directau():
@@ -946,7 +969,7 @@ def main():
     # Deliberate matrix captures default to no budget.
     budget_s = float(os.environ.get(
         "SELFREC_TPU_BENCH_BUDGET_S",
-        "inf" if update_matrix else "1500"))
+        "inf" if update_matrix else "1000"))
     t_start = time.time()
     results = {}
     headline_printed = False

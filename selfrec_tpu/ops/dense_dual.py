@@ -23,7 +23,8 @@ Measured regimes at yelp scale (DUAL_KERNEL.json, marginal-REPS):
   ``SELFREC_TPU_DENSE_DTYPE=int8`` (convergence-gated per model,
   PARITY.md "Quantized-mode convergence") at D <= DUAL_MAX_D.
 - **int8x8, D=192** (SimGCL's stacked 3-view chain): 3.86 -> 3.32 ms
-  (1.16x) — partially compute-bound, smaller but real.
+  (1.16x) standalone, but end-to-end inside the epoch scan the simgcl
+  step REGRESSED (81k -> 66k ex/s) — gated OFF (DUAL_MAX_D = 128).
 - **bf16, D=64**: XLA already sits ON the two-read floor (2.9 ms) and the
   fused kernel is COMPUTE-bound at D=64's half-lane MXU utilization
   (4.3-4.8 ms measured; bf16 compute floor 2 * 1.57 ms at 50% util) —
@@ -73,11 +74,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # production gate: int8x8 mode only (bf16 loses to XLA — see module
-# docstring). Measured wins: 1.55x at D=64, 1.16x at D=192 (SimGCL's
-# stacked 3-view chain); wider operands are untested — keep XLA there.
-DUAL_MAX_D = 192
+# docstring) at D <= 128. D=192 (SimGCL's stacked 3-view chain) measured
+# 1.16x standalone (DUAL_KERNEL.json) but REGRESSED end-to-end inside the
+# epoch scan (simgcl int8x8 81k -> 66k ex/s) — XLA stays there.
+DUAL_MAX_D = 128
 _TU = 2048  # U-tile (inner grid axis)
 _TI = 2048  # I-tile (middle grid axis)
 
@@ -188,6 +191,11 @@ def _dual_call(b, xu, xi, interpret=False):
             jax.ShapeDtypeStruct((i_pad, d), acc_dt),
         ],
         input_output_aliases={3: 1},  # acc <-> out_i (HBM accumulation)
+        # raise the scoped-VMEM cap: the default 16 MB fits this kernel
+        # standalone but the epoch-scan jvp context allocates ~21 MB
+        # (Mosaic buffers more aggressively there); v5e has 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(b, xu_p, xi_p, acc0)
     return out_u[:u], out_i[:i]
