@@ -81,7 +81,7 @@ def bindings(m, r):
         B("README.md",
           r"NCL proto phase \*\*([\d,]+) ex/s\s+\(([\d.]+)x\)\*\* with the on-device k-means e-step at ([\d.]+)s/epoch",
           (m["ncl"]["value"], "ic"), (m["ncl"]["vs_baseline"], "x1"),
-          (_get(m, "ncl.detail.kmeans_estep_s"), "s3")),
+          (_get(m, "ncl.detail.modes.int8x8.kmeans_estep_s"), "s3")),
         B("README.md", r"MixGCF \*\*([\d,]+) ex/s \(([\d.]+)x\)\*\*",
           (m["mixgcf"]["value"], "ic"), (m["mixgcf"]["vs_baseline"], "x1")),
         B("README.md",
@@ -94,7 +94,7 @@ def bindings(m, r):
         # README.md round-4 completions bullet
         B("README.md", r"MF \*\*([\d,]+) ex/s \(([\d.]+)x\)\*\*",
           (m["mf"]["value"], "ic"), (m["mf"]["vs_baseline"], "x1")),
-        B("README.md", r"LightGCN \*\*([\d,]+) ex/s \(([\d.]+)x\)\*\*",
+        B("README.md", r"LightGCN at the leaderboard hyperparams\s+\(n_layer=3, comparator config-matched\) \*\*([\d,]+) ex/s \(([\d.]+)x\)\*\*",
           (m["lightgcn"]["value"], "ic"), (m["lightgcn"]["vs_baseline"], "x1")),
         B("README.md", r"DirectAU \*\*([\d,]+) ex/s \(([\d.]+)x\)\*\*",
           (m["directau"]["value"], "ic"), (m["directau"]["vs_baseline"], "x1")),
@@ -103,7 +103,7 @@ def bindings(m, r):
         B("README.md", r"SelfCF \*\*([\d,]+) ex/s \(([\d.]+)x\)\*\*",
           (m["selfcf"]["value"], "ic"), (m["selfcf"]["vs_baseline"], "x1")),
         B("README.md",
-          r"\*\*([\d.]+)s wall\*\* including compile [\s\S]*?extrapolated ([\d,]+)s O\(U²\) loop \(\*\*([\d.]+)x\*\*\)",
+          r"\*\*([\d.]+)s wall\*\* \(warm compile cache[\s\S]*?extrapolated ([\d,]+)s O\(U²\) loop \(\*\*([\d.]+)x\*\*\)",
           (m["knn"]["value"], "s3"), (r["userknn"], "ic"),
           (m["knn"]["vs_baseline"], "x1")),
         B("README.md",

@@ -35,6 +35,10 @@ def test_bench_writes_scratch_unless_flagged(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "WORKLOADS", {"fake": fake_workload})
     monkeypatch.setattr(bench, "ref_baselines", lambda: {})
     monkeypatch.setattr(sys, "argv", ["bench.py", "fake"])
+    # the orchestrator normally subprocesses each workload (tunnel-memory
+    # isolation); the monkeypatched fake workload only exists in THIS
+    # process, so force the in-process path
+    monkeypatch.setenv("SELFREC_TPU_BENCH_INPROC", "1")
 
     monkeypatch.delenv("SELFREC_TPU_UPDATE_MATRIX", raising=False)
     # stale scratch from an earlier run/code state must NOT leak into this
