@@ -685,7 +685,12 @@ def bench_buir():
         "value": round(eps, 1),
         "unit": "examples/s",
         "ref_key": "buir",
-        "detail": {**spread, "methodology": "50-batch dispatch"},
+        "detail": {
+            **spread, "methodology": "50-batch dispatch",
+            "mode": "bf16 — int8x8 gated OFF for the bootstrap family "
+                    "(3-seed band FAIL, -2.4% mean, AND 0.81x slower: "
+                    "PARITY.md round-5 gate + BASELINE.md round 5)",
+        },
     }
 
 
@@ -762,10 +767,21 @@ def bench_ssl4rec():
 
 def bench_selfcf():
     """SelfCF-HE (n_layer=2, tau=.05): LGCN forward + history-buffer target
-    mixing + predictor cosine losses (reference SelfCF.py:21-47)."""
-    return _simple_graph_workload(
+    mixing + predictor cosine losses (reference SelfCF.py:21-47).
+    Step-accounted in SELFCF_BREAKDOWN.json: prop_fwd 6.66 ms = 88% of
+    the L=2 HBM two-read floor, history scatter 0.11 ms, loss terms
+    noise — the epoch is AT its bf16 floor. The one lever left, int8x8,
+    FAILED the bootstrap-family 3-seed quality gate (-1.5% mean below
+    the bf16 band despite a measured 1.37x: PARITY.md round-5 gate), so
+    this workload stays bf16."""
+    r = _simple_graph_workload(
         "SelfCF", {"n_layer": 2, "tau": 0.05}, "selfcf",
         "SelfCF-HE")
+    r["detail"]["mode"] = (
+        "bf16 — int8x8 gated OFF for the bootstrap family (3-seed band "
+        "FAIL, -1.5% mean at a would-be 1.37x: PARITY.md round-5 gate + "
+        "BASELINE.md round 5)")
+    return r
 
 
 def bench_knn():

@@ -26,9 +26,13 @@ Reference hot spots being accounted:
 - XSimGCL.py:83-101 — single perturbed chain serving rec + cl
 - DirectAU.py:37-48 — pdist uniformity over the batch
 
-Writes {NCL,MIXGCF,XSIMGCL,DIRECTAU}_BREAKDOWN.json. Usage:
-    python scripts/bench_step_breakdowns.py [ncl mixgcf xsimgcl directau]
-    [--cpu] [--scale 1.0] [--reps 8]
+Round 5 adds ``selfcf`` (the largest absolute epoch in the matrix): its
+chain isolates the history-buffer scatter (loss_aux_fwd-loss_fwd — the
+(loss, new_aux) arm keeps the scatters live, the scalar arm DCEs them).
+
+Writes {NCL,MIXGCF,XSIMGCL,DIRECTAU,SELFCF}_BREAKDOWN.json. Usage:
+    python scripts/bench_step_breakdowns.py [ncl mixgcf xsimgcl directau
+    selfcf] [--cpu] [--scale 1.0] [--reps 8]
 """
 
 import argparse
@@ -329,6 +333,25 @@ def main():
         return {"prop_fwd": prop_fwd, "align_only_fwd": align_only,
                 "loss_fwd": full, "_full_loss": full}
 
+    def selfcf_arms(model, batch):
+        def prop_fwd(params, aux, key):
+            u_all, i_all = model._propagate(params)
+            return jnp.sum(u_all[:1, :1]) + jnp.sum(i_all[:1, :1])
+
+        def loss_fwd(params, aux, key):
+            # scalar loss only: the history-buffer scatter (new_aux) is
+            # dead code here and gets DCE'd — its cost is the
+            # loss_aux_fwd-loss_fwd delta
+            return model.batch_loss(params, dict(batch, aux=aux), key)
+
+        def loss_aux_fwd(params, aux, key):
+            # (loss, new_aux) tuple: make_loop reduces EVERY leaf into the
+            # carry, so the per-batch history scatters stay live
+            return model.batch_loss_aux(params, dict(batch, aux=aux), key)
+
+        return {"prop_fwd": prop_fwd, "loss_fwd": loss_fwd,
+                "loss_aux_fwd": loss_aux_fwd, "_full_loss": loss_fwd}
+
     def ncl_setup(model):
         # measure the PROTO phase (epoch >= 20), same as the matrix workload
         model._proto_phase = True
@@ -344,6 +367,8 @@ def main():
                     1, None),
         "directau": ("DirectAU", {"gamma": 2, "n_layers": 3}, 3,
                      directau_arms, 1, None),
+        "selfcf": ("SelfCF", {"n_layer": 2, "tau": 0.05}, 2,
+                   selfcf_arms, 1, None),
     }
 
     all_results = {}
