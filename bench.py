@@ -951,30 +951,35 @@ def bench_eval():
 # order: the five round-2-proven workloads first, the three round-3
 # additions last (sgl's ELL arm has wedged the TPU worker once; a wedged
 # chip fails every workload after it, so the risky ones go at the end)
+# Run order = headline first, then roughly ASCENDING cost, so a
+# budget-constrained driver run (SELFREC_TPU_BENCH_BUDGET_S) covers the
+# most workloads before the skip kicks in: the round-5 driver-style smoke
+# with the old order fit only 8/20 in 1000s because the multi-arm
+# workloads (sgl ~400s cold, ncl/mixgcf ~200s each) sat in the middle.
+# Deliberate matrix captures run unbudgeted, so order doesn't affect the
+# record.
 WORKLOADS = {
-    "simgcl": bench_simgcl,
-    "sasrec": bench_sasrec,
-    "mhcn": bench_mhcn,
-    "sept": bench_sept,
+    "simgcl": bench_simgcl,      # headline — always first
     "eval": bench_eval,
-    "mixgcf": bench_mixgcf,
-    "ncl": bench_ncl,
-    "sgl": bench_sgl,
-    "buir": bench_buir,
-    "xsimgcl": bench_xsimgcl,
+    "sasrec": bench_sasrec,
+    "seq_eval": bench_seq_eval,
     "bert4rec": bench_bert4rec,
     "cl4srec": bench_cl4srec,
-    # round-4 additions (VERDICT r3 item 1): every model family measured
     "mf": bench_mf,
+    "ssl4rec": bench_ssl4rec,
+    "knn": bench_knn,
+    "buir": bench_buir,
+    "mhcn": bench_mhcn,
+    "sept": bench_sept,
     "lightgcn": bench_lightgcn,
     "directau": bench_directau,
-    "ssl4rec": bench_ssl4rec,
+    "xsimgcl": bench_xsimgcl,
     "selfcf": bench_selfcf,
-    "knn": bench_knn,
-    "seq_eval": bench_seq_eval,
-    # round-5 (VERDICT r4 item 6): the social engine at the reference's
-    # real douban-book marginals — LAST so a budget-constrained driver
-    # run drops it first
+    "ncl": bench_ncl,
+    "mixgcf": bench_mixgcf,
+    "sgl": bench_sgl,
+    # the social engine at the reference's real douban-book marginals —
+    # LAST so a budget-constrained driver run drops it first
     "mhcn_fulldouban": bench_mhcn_fulldouban,
 }
 

@@ -55,3 +55,27 @@ def test_bench_writes_scratch_unless_flagged(tmp_path, monkeypatch):
     monkeypatch.setenv("SELFREC_TPU_UPDATE_MATRIX", "1")
     bench.main()
     assert (tmp_path / "BENCH_MATRIX.json").exists()
+
+
+def test_matrix_of_record_covers_every_workload():
+    """Driver contract invariants: the SimGCL headline runs FIRST (it must
+    print even if a budget-constrained driver run covers nothing else),
+    and every registered workload has an entry in the committed matrix of
+    record (a silently-dropped workload would read as coverage that isn't
+    there — 'no silent caps')."""
+    import json
+
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.remove(REPO)
+
+    names = list(bench.WORKLOADS)
+    assert names[0] == "simgcl"
+    matrix = json.loads(
+        open(os.path.join(REPO, "BENCH_MATRIX.json")).read())
+    missing = [n for n in names if n not in matrix]
+    assert not missing, f"workloads with no matrix-of-record entry: {missing}"
+    stale = [n for n in matrix if n not in names]
+    assert not stale, f"matrix entries with no workload: {stale}"
