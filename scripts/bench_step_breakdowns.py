@@ -28,11 +28,14 @@ Reference hot spots being accounted:
 
 Round 5 adds ``selfcf`` (the largest absolute epoch in the matrix): its
 chain isolates the history-buffer scatter (loss_aux_fwd-loss_fwd — the
-(loss, new_aux) arm keeps the scatters live, the scalar arm DCEs them).
+(loss, new_aux) arm keeps the scatters live, the scalar arm DCEs them) —
+and ``simgcl`` (the headline workload): clean chain vs the fused
+width-3D 3-chain vs rec-only vs full loss. SIMGCL_BREAKDOWN.json is the
+two-mode merge (bf16 + SELFREC_TPU_DENSE_DTYPE=int8 runs).
 
-Writes {NCL,MIXGCF,XSIMGCL,DIRECTAU,SELFCF}_BREAKDOWN.json. Usage:
+Writes {NCL,MIXGCF,XSIMGCL,DIRECTAU,SELFCF,SIMGCL}_BREAKDOWN.json. Usage:
     python scripts/bench_step_breakdowns.py [ncl mixgcf xsimgcl directau
-    selfcf] [--cpu] [--scale 1.0] [--reps 8]
+    selfcf simgcl] [--cpu] [--scale 1.0] [--reps 8]
 """
 
 import argparse
@@ -71,7 +74,8 @@ def main():
     from bench import _graph_conf, _timed_batches
     from selfrec_tpu.models import get_model_class
     from selfrec_tpu.ops import losses, sampling
-    from selfrec_tpu.ops.graph import perturbed_propagate
+    from selfrec_tpu.ops.graph import (
+        fused_simgcl_propagate, perturbed_propagate)
     from selfrec_tpu.utils.synth import (
         YELP2018_INTERACTIONS, YELP2018_ITEMS, YELP2018_USERS,
         synth_graph_mapped,
@@ -333,6 +337,45 @@ def main():
         return {"prop_fwd": prop_fwd, "align_only_fwd": align_only,
                 "loss_fwd": full, "_full_loss": full}
 
+    def simgcl_arms(model, batch):
+        # the HEADLINE workload's own accounting (round 5): the fused
+        # width-3D chain (1 clean + 2 perturbed, ops/graph.py
+        # fused_simgcl_propagate) vs the clean chain alone, then the
+        # BPR/reg and CL terms on top
+        nu = model.data.user_num
+
+        def prop_clean(params, aux, key):
+            u_all, i_all = model.compute_embeddings(params)
+            return jnp.sum(u_all[:1, :1]) + jnp.sum(i_all[:1, :1])
+
+        def prop_fused3(params, aux, key):
+            clean, v1, v2 = fused_simgcl_propagate(
+                model.adj, model._ego(params), model.n_layers, key,
+                model.eps)
+            return (jnp.sum(clean[:1, :1]) + jnp.sum(v1[:1, :1])
+                    + jnp.sum(v2[:1, :1]))
+
+        def rec_only(params, aux, key):
+            # fused propagation + BPR/reg, CL removed — the
+            # loss_fwd-rec_only_fwd delta isolates the two InfoNCE terms
+            clean, v1, v2 = fused_simgcl_propagate(
+                model.adj, model._ego(params), model.n_layers, key,
+                model.eps)
+            u = clean[:nu][batch["u"]]
+            p = clean[nu:][batch["i"]]
+            n = clean[nu:][batch["j"]]
+            rec = losses.bpr_loss(u, p, n, mask=batch["mask"])
+            reg = losses.l2_reg_loss(model.reg, u, p, mask=batch["mask"])
+            return rec + reg + 1e-30 * (jnp.sum(v1[:1, :1])
+                                        + jnp.sum(v2[:1, :1]))
+
+        def full(params, aux, key):
+            return model.batch_loss(params, batch, key)
+
+        return {"prop_fwd": prop_clean, "prop_fused3_fwd": prop_fused3,
+                "rec_only_fwd": rec_only, "loss_fwd": full,
+                "_full_loss": full}
+
     def selfcf_arms(model, batch):
         def prop_fwd(params, aux, key):
             u_all, i_all = model._propagate(params)
@@ -369,6 +412,8 @@ def main():
                      directau_arms, 1, None),
         "selfcf": ("SelfCF", {"n_layer": 2, "tau": 0.05}, 2,
                    selfcf_arms, 1, None),
+        "simgcl": ("SimGCL", {"n_layer": 3, "lambda": 0.5, "eps": 0.1}, 3,
+                   simgcl_arms, 1, None),
     }
 
     all_results = {}
