@@ -63,6 +63,7 @@ variance would otherwise fail tests/test_doc_numbers.py.
 Usage: python bench.py [workload ...]   (default: all)
 """
 
+import contextlib
 import functools
 import json
 import os
@@ -583,6 +584,21 @@ def bench_sgl():
     }
 
 
+@contextlib.contextmanager
+def _pinned_bf16():
+    """Force the bf16 default for a workload whose detail.mode CLAIMS
+    bf16 (the bootstrap family, whose int8x8 gate FAILED — PARITY.md
+    round 5): without the pin, an ambient SELFREC_TPU_DENSE_DTYPE=int8
+    would measure the quality-failed mode and stamp it 'bf16' into the
+    matrix of record."""
+    saved = os.environ.pop("SELFREC_TPU_DENSE_DTYPE", None)
+    try:
+        yield
+    finally:
+        if saved is not None:
+            os.environ["SELFREC_TPU_DENSE_DTYPE"] = saved
+
+
 def _dual_mode_workload(metric, build_model, gates, first_epoch=0,
                         mode_hook=None):
     """Measure a D=64 propagation-dominated workload in BOTH numeric
@@ -677,8 +693,9 @@ def bench_buir():
     int8 block; 2.6x the per-step-reweighted ELL chain) plus the momentum
     target-row updates. Capped-batch methodology (see _timed_batches)."""
     extra = {"n_layer": 2, "drop_rate": 0.2, "tau": 0.995}
-    model = _graph_model("BUIR", extra)
-    eps, spread = _timed_batches(model)
+    with _pinned_bf16():
+        model = _graph_model("BUIR", extra)
+        eps, spread = _timed_batches(model)
     log(f"[buir] {eps:.1f} ex/s")
     return {
         "metric": "buir_yelp2018scale_train_throughput",
@@ -687,9 +704,10 @@ def bench_buir():
         "ref_key": "buir",
         "detail": {
             **spread, "methodology": "50-batch dispatch",
-            "mode": "bf16 — int8x8 gated OFF for the bootstrap family "
-                    "(3-seed band FAIL, -2.4% mean, AND 0.81x slower: "
-                    "PARITY.md round-5 gate + BASELINE.md round 5)",
+            "mode": "bf16 (pinned) — int8x8 gated OFF for the bootstrap "
+                    "family (3-seed band FAIL, -2.4% mean, AND 0.81x "
+                    "slower: PARITY.md round-5 gate + BASELINE.md "
+                    "round 5)",
         },
     }
 
@@ -768,19 +786,22 @@ def bench_ssl4rec():
 def bench_selfcf():
     """SelfCF-HE (n_layer=2, tau=.05): LGCN forward + history-buffer target
     mixing + predictor cosine losses (reference SelfCF.py:21-47).
-    Step-accounted in SELFCF_BREAKDOWN.json: prop_fwd 6.66 ms = 88% of
-    the L=2 HBM two-read floor, history scatter 0.11 ms, loss terms
-    noise — the epoch is AT its bf16 floor. The one lever left, int8x8,
-    FAILED the bootstrap-family 3-seed quality gate (-1.5% mean below
-    the bf16 band despite a measured 1.37x: PARITY.md round-5 gate), so
-    this workload stays bf16."""
-    r = _simple_graph_workload(
-        "SelfCF", {"n_layer": 2, "tau": 0.05}, "selfcf",
-        "SelfCF-HE")
+    Step-accounted in SELFCF_BREAKDOWN.json: prop_fwd 6.66 ms vs the
+    5.88 ms L=2 HBM two-read floor (the floor is 88% of the measured
+    pass), history scatter 0.11 ms, loss terms noise — the epoch is AT
+    its bf16 floor. The one lever left, int8x8, FAILED the
+    bootstrap-family 3-seed quality gate (-1.5% mean below the bf16 band
+    despite a measured 1.37x: PARITY.md round-5 gate), so this workload
+    PINS bf16 regardless of the ambient SELFREC_TPU_DENSE_DTYPE — the
+    detail.mode label must never be able to lie."""
+    with _pinned_bf16():
+        r = _simple_graph_workload(
+            "SelfCF", {"n_layer": 2, "tau": 0.05}, "selfcf",
+            "SelfCF-HE")
     r["detail"]["mode"] = (
-        "bf16 — int8x8 gated OFF for the bootstrap family (3-seed band "
-        "FAIL, -1.5% mean at a would-be 1.37x: PARITY.md round-5 gate + "
-        "BASELINE.md round 5)")
+        "bf16 (pinned) — int8x8 gated OFF for the bootstrap family "
+        "(3-seed band FAIL, -1.5% mean at a would-be 1.37x: PARITY.md "
+        "round-5 gate + BASELINE.md round 5)")
     return r
 
 
@@ -948,9 +969,6 @@ def bench_eval():
     }
 
 
-# order: the five round-2-proven workloads first, the three round-3
-# additions last (sgl's ELL arm has wedged the TPU worker once; a wedged
-# chip fails every workload after it, so the risky ones go at the end)
 # Run order = headline first, then roughly ASCENDING cost, so a
 # budget-constrained driver run (SELFREC_TPU_BENCH_BUDGET_S) covers the
 # most workloads before the skip kicks in: the round-5 driver-style smoke

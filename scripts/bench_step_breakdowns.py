@@ -91,7 +91,7 @@ def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     def run_model(tag, name, extra, n_layers, arms_fn, n_negs=1,
-                  setup=None):
+                  setup=None, write=True):
         model = get_model_class(name)(_graph_conf(name, extra), train, test)
         model.build()
         if setup:
@@ -215,10 +215,11 @@ def main():
         results["derived_ms"] = d_ms
         log("derived:", json.dumps(d_ms))
 
-        out = os.path.join(repo, f"{tag.upper()}_BREAKDOWN.json")
-        with open(out, "w") as f:
-            json.dump(results, f, indent=2)
-        log("wrote", out)
+        if write:
+            out = os.path.join(repo, f"{tag.upper()}_BREAKDOWN.json")
+            with open(out, "w") as f:
+                json.dump(results, f, indent=2)
+            log("wrote", out)
         del model
         return results
 
@@ -420,8 +421,45 @@ def main():
     for tag in args.models:
         name, extra, nl, arms_fn, n_negs, setup = specs[tag]
         log(f"=== {tag} ===")
-        all_results[tag] = run_model(tag, name, extra, nl, arms_fn,
-                                     n_negs=n_negs, setup=setup)
+        if tag == "simgcl":
+            # the headline workload is accounted in BOTH numeric modes;
+            # the script itself writes the {bf16_default, int8x8} merge
+            # so a re-run can never clobber the committed two-mode
+            # artifact with a flat single-mode file
+            saved = os.environ.pop("SELFREC_TPU_DENSE_DTYPE", None)
+            try:
+                log("--- simgcl: bf16_default mode ---")
+                bf = run_model(tag, name, extra, nl, arms_fn,
+                               n_negs=n_negs, setup=setup, write=False)
+                os.environ["SELFREC_TPU_DENSE_DTYPE"] = "int8"
+                log("--- simgcl: int8x8 mode ---")
+                i8 = run_model(tag, name, extra, nl, arms_fn,
+                               n_negs=n_negs, setup=setup, write=False)
+            finally:
+                if saved is None:
+                    os.environ.pop("SELFREC_TPU_DENSE_DTYPE", None)
+                else:
+                    os.environ["SELFREC_TPU_DENSE_DTYPE"] = saved
+            merged = {
+                "note": (
+                    "Headline-workload step accounting, both numeric "
+                    "modes (scripts/bench_step_breakdowns.py simgcl; "
+                    "int8x8 half run with SELFREC_TPU_DENSE_DTYPE=int8). "
+                    "The step IS the fused width-3D propagation chain "
+                    "(1 clean + 2 perturbed): loss-term deltas "
+                    "(rec/reg/CL) are noise-level in both modes; "
+                    "full_step examples/s matches the matrix-of-record "
+                    "entry."),
+                "bf16_default": bf, "int8x8": i8,
+            }
+            out = os.path.join(repo, "SIMGCL_BREAKDOWN.json")
+            with open(out, "w") as f:
+                json.dump(merged, f, indent=2)
+            log("wrote", out)
+            all_results[tag] = i8
+        else:
+            all_results[tag] = run_model(tag, name, extra, nl, arms_fn,
+                                         n_negs=n_negs, setup=setup)
     print(json.dumps({t: r["arms_ms"] for t, r in all_results.items()}))
 
 

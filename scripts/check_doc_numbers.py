@@ -142,6 +142,12 @@ def bindings(m, r):
           (m["mf"]["value"], "ic"), (m["mf"]["vs_baseline"], "x1"),
           (m["mhcn"]["value"], "ic"), (m["mhcn"]["vs_baseline"], "x1"),
           (m["ssl4rec"]["value"], "ic"), (m["ssl4rec"]["vs_baseline"], "x1")),
+        # PARITY.md round-5 bootstrap-family gate entry (review finding:
+        # PARITY numbers were unbound and drifted on recapture)
+        B("PARITY.md",
+          r"their matrix entries stay bf16\*\* \(still ([\d.]+)x/([\d.]+)x",
+          (m["buir"]["vs_baseline"], "x1"),
+          (m["selfcf"]["vs_baseline"], "x1")),
         # MULTICHIP_SCALING.json tpu_single_chip block (VERDICT r4 weak 3)
         B("MULTICHIP_SCALING.json",
           r"\"examples_per_s_bf16_default\": ([\d.]+),\s+"
